@@ -1,0 +1,160 @@
+"""Single-point energy / force models (the flagship API).
+
+Functional rebuild of the reference Energy / Force modules
+(seqm/basics.py:253-390): pure functions over (constants, parameter tables,
+config, species, coordinates) that jit/vmap/grad/shard_map cleanly.
+
+Outputs follow the reference contract: heat of formation Hf, total energy,
+electronic & nuclear terms, per-pair core-core energies, orbital energies,
+converged density, orbital charges and the per-molecule non-convergence
+flag.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Mapping, NamedTuple, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+
+from ..constants import EV, Constants, make_constants
+from ..ops.density import orbital_permutation, sym_eig
+from ..ops.energy import (elec_energy, elec_energy_isolated_atom,
+                          heat_formation, pair_nuclear_energy, total_energy)
+from ..ops.fock import fock
+from ..ops.hcore import hcore
+from ..ops.matrix import grid_to_mat
+from ..parameters import load_element_tables
+from ..scf import SCFConfig, scf_solve
+from ..system import System, make_system
+
+
+@dataclasses.dataclass(frozen=True)
+class SEQMConfig:
+    """Typed replacement for the reference's ``seqm_parameters`` dict +
+    module-level globals (cf. doc/documentation.md:35-51, scf_loop.py:16-27)."""
+
+    method: str = "AM1"
+    scf: SCFConfig = dataclasses.field(default_factory=SCFConfig)
+    hf_flag: bool = True            # Hf vs Etot - Eiso (basics.py:265-268)
+    pair_outer_cutoff: float = 1.0e10
+    eig: bool = False               # return orbital energies / charges
+    check_degeneracy: bool = False
+
+
+class EnergyOutput(NamedTuple):
+    Hf: jnp.ndarray
+    Etot: jnp.ndarray
+    Eelec: jnp.ndarray
+    Enuc: jnp.ndarray
+    Eiso_sum: jnp.ndarray
+    EnucAB: jnp.ndarray
+    e: Optional[jnp.ndarray]
+    P: jnp.ndarray
+    charge: Optional[jnp.ndarray]
+    notconverged: jnp.ndarray
+
+
+LearnedParams = Union[Mapping[str, jnp.ndarray],
+                      Callable[[jnp.ndarray, jnp.ndarray], Mapping[str, jnp.ndarray]]]
+
+
+def _atom_parameters(tables, method, sys: System,
+                     learned: Optional[LearnedParams],
+                     coordinates) -> Dict[str, jnp.ndarray]:
+    from ..parameters import gather_atom_parameters
+
+    if callable(learned):
+        learned = learned(sys.species, coordinates)
+    return gather_atom_parameters(tables, method, sys.species, learned)
+
+
+def _orbital_charges(sys: System, v: jnp.ndarray) -> jnp.ndarray:
+    """Per-MO atomic charge decomposition (cf. scf_loop.py:795-800).
+
+    v: eigenvectors in the packed layout; returns (nmol, 4A, A) where
+    charge[n, mo, atom] = sum of squared MO coefficients on that atom.
+    """
+    perm, _ = orbital_permutation(sys)
+    atom_of_row = perm // 4                      # (nmol, 4A)
+    v2 = v ** 2                                  # rows: packed orbitals
+    A = sys.species.shape[1]
+    onehot = jax.nn.one_hot(atom_of_row, A, dtype=v.dtype)  # (nmol, 4A, A)
+    charge = jnp.einsum('nrl,nra->nla', v2, onehot)
+    idx = jnp.arange(v.shape[-1])
+    charge = jnp.where((idx[None, :] < sys.norb[:, None])[..., None], charge, 0.0)
+    return charge
+
+
+def energy(
+    const: Constants,
+    tables: Mapping[str, jnp.ndarray],
+    cfg: SEQMConfig,
+    species: jnp.ndarray,
+    coordinates: jnp.ndarray,
+    learned: Optional[LearnedParams] = None,
+    P0: Optional[jnp.ndarray] = None,
+    charges: Optional[jnp.ndarray] = None,
+) -> EnergyOutput:
+    """Single-point SCF energy for a batch of molecules.
+
+    Mirrors Energy.forward (basics.py:271-346) with all_terms=True.
+    """
+    sys = make_system(const, species, coordinates, charges,
+                      cfg.pair_outer_cutoff)
+    p = _atom_parameters(tables, cfg.method, sys, learned, coordinates)
+    Kbeta = p.pop("Kbeta", None)
+    g_ss_nuc = p.pop("g_ss_nuc", None)
+
+    M, w = hcore(const, sys, p, Kbeta)
+    P, notconverged = scf_solve(const, sys, M, w, p, cfg.scf, P0)
+    F = fock(sys, P, M, w, p)
+    H = grid_to_mat(M)
+
+    if g_ss_nuc is not None:
+        # ML override of the nuclear gamma (basics.py:321-327)
+        r0a = 0.5 * EV / g_ss_nuc[:, sys.pair_i]
+        r0b = 0.5 * EV / g_ss_nuc[:, sys.pair_j]
+        gam = EV / jnp.sqrt(sys.rij ** 2 + (r0a + r0b) ** 2)
+    else:
+        gam = w[..., 0, 0, 0, 0]
+    EnucAB = pair_nuclear_energy(const, sys, gam, cfg.method, p)
+    Eel = elec_energy(P, F, H)
+    Etot, Enuc = total_energy(EnucAB, Eel)
+    Eiso = elec_energy_isolated_atom(const, sys.species, p)
+    Hf, Eiso_sum = heat_formation(const, sys, Etot, Eiso, cfg.hf_flag)
+
+    e = charge = None
+    if cfg.eig:
+        e, v = sym_eig(sys, F, eig_only=True)
+        charge = _orbital_charges(sys, v)
+    return EnergyOutput(Hf, Etot, Eel, Enuc, Eiso_sum, EnucAB, e, P, charge,
+                        notconverged)
+
+
+def force(
+    const: Constants,
+    tables: Mapping[str, jnp.ndarray],
+    cfg: SEQMConfig,
+    species: jnp.ndarray,
+    coordinates: jnp.ndarray,
+    learned: Optional[LearnedParams] = None,
+    P0: Optional[jnp.ndarray] = None,
+    charges: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, EnergyOutput]:
+    """Forces -dHf/dR (eV/Angstrom) + energy terms (cf. Force, basics.py:348)."""
+
+    def loss(coords):
+        out = energy(const, tables, cfg, species, coords, learned, P0, charges)
+        return jnp.sum(out.Hf), out
+
+    grad, out = jax.grad(loss, has_aux=True)(coordinates)
+    return -grad, out
+
+
+def build(method: str = "AM1", dtype=jnp.float32, **cfg_kwargs):
+    """Convenience constructor: (const, tables, cfg)."""
+    const = make_constants(dtype=dtype)
+    tables = load_element_tables(method, dtype=dtype)
+    cfg = SEQMConfig(method=method, **cfg_kwargs)
+    return const, tables, cfg

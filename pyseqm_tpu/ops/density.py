@@ -1,0 +1,162 @@
+"""Density-matrix construction: batched eigendecomposition and SP2.
+
+Rebuild of seqm/seqm_functions/diag.py + SP2.py + pack.py with one central
+design change: the reference's pack/unpack (which *resizes* matrices by
+stripping hydrogen p-rows with per-molecule Python loops, pack.py:23-41)
+becomes a per-molecule *orbital permutation* at fixed size 4A — valid
+orbitals (heavy: s,px,py,pz; H: s) are moved to the front with a stable
+argsort, padding stays at the back and its diagonal is filled with
+Gershgorin-spaced large values (diag.py:111-139) so one batched eigh /
+SP2 handles the whole batch.  Everything is static-shape and batched; no
+per-molecule loops anywhere.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..system import System
+
+SP2_MAX_ITER = 200
+
+
+def orbital_mask(sys: System) -> jnp.ndarray:
+    """(nmol, 4A) bool: which orbital rows are physical."""
+    per_atom = jnp.stack(
+        [sys.atom_mask, sys.heavy_mask, sys.heavy_mask, sys.heavy_mask],
+        axis=-1)  # (nmol, A, 4)
+    return per_atom.reshape(sys.species.shape[0], -1)
+
+
+def orbital_permutation(sys: System) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Stable permutation packing valid orbitals first; plus its inverse."""
+    valid = orbital_mask(sys)
+    perm = jnp.argsort(~valid, axis=-1, stable=True)
+    inv = jnp.argsort(perm, axis=-1)
+    return perm, inv
+
+
+def permute_mat(X, perm):
+    X = jnp.take_along_axis(X, perm[:, :, None], axis=1)
+    return jnp.take_along_axis(X, perm[:, None, :], axis=2)
+
+
+def _gershgorin(Xp):
+    aii = jnp.diagonal(Xp, axis1=-2, axis2=-1)
+    ri = jnp.sum(jnp.abs(Xp), axis=-1) - jnp.abs(aii)
+    h1 = jnp.min(aii - ri, axis=-1)
+    hN = jnp.max(aii + ri, axis=-1)
+    return h1, hN
+
+
+def _fill_padding_diag(Xp, norb, h1, hN, dx=0.005):
+    """Distinct large diagonal values on padding rows (cf. diag.py:120-130).
+
+    Spacing keeps padding eigenvalues non-degenerate so eigh stays
+    differentiable.
+    """
+    n = Xp.shape[-1]
+    idx = jnp.arange(n)
+    pad = idx[None, :] >= norb[:, None]
+    k = idx[None, :] - norb[:, None] + 1  # 1-based padding position
+    dE = hN - h1
+    val = (1.0 + dx * k.astype(Xp.dtype)) * dE[:, None] + hN[:, None]
+    diag = jnp.where(pad, val, jnp.diagonal(Xp, axis1=-2, axis2=-1))
+    return Xp.at[:, idx, idx].set(diag)
+
+
+def sym_eig(sys: System, F: jnp.ndarray, eig_only: bool = False):
+    """Batched eigendecomposition of the Fock matrix.
+
+    Returns (e, P, v): orbital energies (nmol, 4A) zero-padded after norb,
+    density P = 2 V_occ V_occ^T in the original orbital layout, and the
+    eigenvectors v in the *packed* (permuted) layout.
+    """
+    perm, inv = orbital_permutation(sys)
+    Fp = permute_mat(F, perm)
+    h1, hN = _gershgorin(Fp)
+    Fp = _fill_padding_diag(Fp, sys.norb, h1, hN)
+
+    e0, v = jnp.linalg.eigh(Fp)
+    n = F.shape[-1]
+    idx = jnp.arange(n)
+    e = jnp.where(idx[None, :] < sys.norb[:, None], e0, 0.0)
+    if eig_only:
+        return e, v
+
+    occ = (idx[None, :] < sys.nocc[:, None]).astype(F.dtype)
+    Pp = 2.0 * jnp.einsum('nik,nk,njk->nij', v, occ, v)
+    P = permute_mat(Pp, inv)
+    m = orbital_mask(sys).astype(F.dtype)
+    P = P * m[:, :, None] * m[:, None, :]
+    return e, P, v
+
+
+class _SP2State(NamedTuple):
+    a0: jnp.ndarray
+    errm0: jnp.ndarray
+    errm1: jnp.ndarray
+    errm2: jnp.ndarray
+    notconverged: jnp.ndarray
+    k: jnp.ndarray
+
+
+def sp2(sys: System, F: jnp.ndarray, eps: float = 1.0e-4) -> jnp.ndarray:
+    """SP2 density-matrix purification (cf. SP2.py:3-72).
+
+    Pure batched matmuls — the TPU-preferred density path.  Per-molecule
+    convergence handled with masked updates inside a while_loop; padding
+    orbitals are pinned at occupation zero by setting their diagonal to the
+    Gershgorin upper bound hN (maps exactly to 0 under the initial scaling).
+    """
+    dtype = F.dtype
+    f32 = dtype == jnp.float32
+    if f32:
+        eps = max(eps, 1.0e-2)
+    else:
+        eps = min(max(eps, 1.0e-7), 1.0e-3)
+
+    perm, inv = orbital_permutation(sys)
+    Fp = permute_mat(F, perm)
+    h1, hN = _gershgorin(Fp)
+    n = F.shape[-1]
+    idx = jnp.arange(n)
+    pad = idx[None, :] >= sys.norb[:, None]
+    diag = jnp.where(pad, hN[:, None], jnp.diagonal(Fp, axis1=-2, axis2=-1))
+    Fp = Fp.at[:, idx, idx].set(diag)
+
+    noccd = sys.nocc.astype(dtype)
+    eye = jnp.eye(n, dtype=dtype)
+    a0 = (eye[None] * hN[:, None, None] - Fp) / (hN - h1)[:, None, None]
+
+    tr = lambda x: jnp.trace(x, axis1=-2, axis2=-1)
+    err0 = jnp.abs(tr(a0) - noccd)
+    st = _SP2State(a0, err0, err0, err0,
+                   jnp.ones(F.shape[0], dtype=bool), jnp.asarray(0))
+
+    def cond(st):
+        return jnp.any(st.notconverged) & (st.k < SP2_MAX_ITER)
+
+    def body(st):
+        a2 = jnp.matmul(st.a0, st.a0)
+        tr_a2 = tr(a2)
+        take_sq = jnp.abs(tr_a2 - noccd) < jnp.abs(2.0 * tr(st.a0) - tr_a2 - noccd)
+        a_new = jnp.where(take_sq[:, None, None], a2, 2.0 * st.a0 - a2)
+        nc = st.notconverged[:, None, None]
+        a0 = jnp.where(nc, a_new, st.a0)
+        errm0 = jnp.where(st.notconverged, jnp.abs(tr(a0) - noccd), st.errm0)
+        errm1 = jnp.where(st.notconverged, st.errm0, st.errm1)
+        errm2 = jnp.where(st.notconverged, st.errm1, st.errm2)
+        if f32:
+            done = (errm0 < eps) & (errm0 >= errm2)
+        else:
+            done = (errm0 < eps) & (errm1 < eps)
+        notconverged = st.notconverged & ~done
+        return _SP2State(a0, errm0, errm1, errm2, notconverged, st.k + 1)
+
+    st = jax.lax.while_loop(cond, body, st)
+    P = permute_mat(2.0 * st.a0, inv)
+    m = orbital_mask(sys).astype(dtype)
+    return P * m[:, :, None] * m[:, None, :]

@@ -1,0 +1,83 @@
+"""Energy terms: electronic, core-core, isolated-atom, heat of formation.
+
+Rebuild of seqm/seqm_functions/energy.py:4-118.  Because pairs/atoms keep
+the (nmol, ...) batch layout, the reference's index_add reductions over
+molecule ids become plain axis sums.
+"""
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax.numpy as jnp
+
+from ..constants import A0, Constants
+from ..system import System
+
+
+def elec_energy(P, F, Hcore):
+    """Eelec = 0.5 sum P o (Hcore + F); all matrices full-symmetric (eV)."""
+    return 0.5 * jnp.sum(P * (Hcore + F), axis=(1, 2))
+
+
+def elec_energy_xl(D, P, F, Hcore):
+    """XL-BOMD functional E(D,P) = Tr(D F) - 0.5 Tr((F - Hcore) P).
+
+    cf. seqm/XLBOMD.py:40-52.
+    """
+    return jnp.sum(D * F - 0.5 * (F - Hcore) * P, axis=(1, 2))
+
+
+def elec_energy_isolated_atom(const: Constants, Z, p: Dict[str, jnp.ndarray]):
+    """Ground-state electronic energy of each isolated atom (eV)."""
+    return (p["U_ss"] * const.ussc[Z] + p["U_pp"] * const.uppc[Z]
+            + p["g_ss"] * const.gssc[Z] + p["g_pp"] * const.gppc[Z]
+            + p["g_sp"] * const.gspc[Z] + p["g_p2"] * const.gp2c[Z]
+            + p["h_sp"] * const.hspc[Z])
+
+
+def pair_nuclear_energy(const: Constants, sys: System, gam, method: str,
+                        p: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+    """Core-core repulsion per pair (eV), masked; cf. energy.py:38-78.
+
+    gam: (nmol, NP) = (s_i s_i | s_j s_j) two-center integral.
+    """
+    iu, ju = sys.pair_i, sys.pair_j
+    rija = sys.rij * A0  # Angstrom
+    tore_i = const.tore[sys.zi]
+    tore_j = const.tore[sys.zj]
+    alpha_i = p["alpha"][:, iu]
+    alpha_j = p["alpha"][:, ju]
+
+    t1 = tore_i * tore_j * gam
+    # N-H / O-H special case: the i-side exponential gains a factor r
+    xh = ((sys.zi == 7) | (sys.zi == 8)) & (sys.zj == 1)
+    t2 = jnp.exp(-alpha_i * rija) * jnp.where(xh, rija, 1.0)
+    t3 = jnp.exp(-alpha_j * rija)
+    enuc = t1 * (1.0 + t2 + t3)
+
+    if method != "MNDO":
+        ng = {"AM1": 4, "PM3": 2}[method]
+        K = jnp.stack([p[f"Gaussian{g+1}_K"] for g in range(ng)], axis=-1)
+        L = jnp.stack([p[f"Gaussian{g+1}_L"] for g in range(ng)], axis=-1)
+        Mg = jnp.stack([p[f"Gaussian{g+1}_M"] for g in range(ng)], axis=-1)
+        r = rija[..., None]
+        t5 = jnp.sum(K[:, iu] * jnp.exp(-L[:, iu] * (r - Mg[:, iu]) ** 2), axis=-1)
+        t6 = jnp.sum(K[:, ju] * jnp.exp(-L[:, ju] * (r - Mg[:, ju]) ** 2), axis=-1)
+        enuc = enuc + tore_i * tore_j / rija * (t5 + t6)
+
+    return jnp.where(sys.pair_mask, enuc, 0.0)
+
+
+def total_energy(EnucAB, Eelec) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    Enuc = jnp.sum(EnucAB, axis=-1)
+    return Eelec + Enuc, Enuc
+
+
+def heat_formation(const: Constants, sys: System, Etot, Eiso, hf_flag=True):
+    """Hf = Etot - sum_A Eiso_A + sum_A dHf_A (eV); cf. energy.py:97-118."""
+    m = sys.atom_mask
+    Eiso_sum = jnp.sum(jnp.where(m, Eiso, 0.0), axis=-1)
+    if hf_flag:
+        eheat_sum = jnp.sum(jnp.where(m, const.eheat[sys.species], 0.0), axis=-1)
+        return Etot - Eiso_sum + eheat_sum, Eiso_sum
+    return Etot - Eiso_sum, Eiso_sum

@@ -1,0 +1,78 @@
+"""Fock matrix construction: F = Hcore + G(P).
+
+Rebuild of the reference fock (seqm/seqm_functions/fock.py:6-139) on the
+static block grid.  The reference's weighted 10-vector contraction of the
+packed integral triangle becomes a plain einsum over the full (4,4,4,4)
+integral tensor (the symmetric weights are implicit in the dense layout),
+and the flat index_add_ scatters become static-index scatter-adds.
+"""
+from __future__ import annotations
+
+from typing import Dict
+
+import jax.numpy as jnp
+
+from ..system import System
+from .matrix import grid_to_mat, mat_to_grid
+
+
+def fock(sys: System, P: jnp.ndarray, M: jnp.ndarray, w: jnp.ndarray,
+         p: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+    """Build the Fock matrix.
+
+    Args:
+      P: (nmol, 4A, 4A) total density matrix (closed shell: P = 2 P_alpha).
+      M: (nmol, A, A, 4, 4) core Hamiltonian block grid.
+      w: (nmol, NP, 4, 4, 4, 4) two-electron integrals.
+      p: per-atom parameters (g_ss, g_sp, g_pp, g_p2, h_sp), each (nmol, A).
+
+    Returns: (nmol, 4A, 4A) symmetric Fock matrix.
+    """
+    nmol, A = sys.species.shape
+    iu, ju = sys.pair_i, sys.pair_j
+    Pg = mat_to_grid(P, A)
+    idx = jnp.arange(A)
+    Pd = Pg[:, idx, idx]                       # (nmol, A, 4, 4)
+
+    gss, gsp = p["g_ss"], p["g_sp"]
+    gpp, gp2, hsp = p["g_pp"], p["g_p2"], p["h_sp"]
+
+    # ---- one-center two-electron terms on the diagonal blocks ----
+    # cf. fock.py:54-64; written fully symmetric.
+    pss = Pd[..., 0, 0]
+    pdiag = jnp.stack([Pd[..., 1, 1], Pd[..., 2, 2], Pd[..., 3, 3]], axis=-1)
+    pptot = jnp.sum(pdiag, axis=-1)
+
+    tmp = jnp.zeros_like(Pd)
+    tmp = tmp.at[..., 0, 0].set(0.5 * pss * gss + pptot * (gsp - 0.5 * hsp))
+    for k in range(1, 4):
+        tmp = tmp.at[..., k, k].set(
+            pss * (gsp - 0.5 * hsp) + 0.5 * Pd[..., k, k] * gpp
+            + (pptot - Pd[..., k, k]) * (1.25 * gp2 - 0.25 * gpp))
+        sp = Pd[..., 0, k] * (1.5 * hsp - 0.5 * gsp)
+        tmp = tmp.at[..., 0, k].set(sp)
+        tmp = tmp.at[..., k, 0].set(sp)
+    for i, j in ((1, 2), (1, 3), (2, 3)):
+        ppx = Pd[..., i, j] * (0.75 * gpp - 1.25 * gp2)
+        tmp = tmp.at[..., i, j].set(ppx)
+        tmp = tmp.at[..., j, i].set(ppx)
+
+    # ---- two-center Coulomb: diagonal-block contributions ----
+    # diag(i) += sum_j w_(ij)[ab,cd] P_diag(j)[cd]  (and the mirror);
+    # cf. the weighted PA/PB contraction in fock.py:80-110.
+    sum_to_i = jnp.einsum('npabcd,npcd->npab', w, Pd[:, ju])
+    sum_to_j = jnp.einsum('npabcd,npab->npcd', w, Pd[:, iu])
+    dsum = jnp.zeros_like(Pd)
+    dsum = dsum.at[:, iu].add(sum_to_i)
+    dsum = dsum.at[:, ju].add(sum_to_j)
+
+    # ---- two-center exchange on the off-diagonal blocks ----
+    # F_(ij)[a,c] = -0.5 sum_{b,d} P_(ij)[b,d] w_(ij)[ab,cd]; cf. fock.py:117-131
+    Pp = Pg[:, iu, ju]
+    x = -0.5 * jnp.einsum('npabcd,npbd->npac', w, Pp)
+
+    F = M + 0.0
+    F = F.at[:, idx, idx].add(tmp + dsum)
+    F = F.at[:, iu, ju].add(x)
+    F = F.at[:, ju, iu].add(jnp.swapaxes(x, -1, -2))
+    return grid_to_mat(F)

@@ -1,0 +1,177 @@
+"""Diatomic STO overlap integrals (s/p valence shells).
+
+TPU-native reimplementation of the reference ``diatom_overlap_matrix``
+(seqm/seqm_functions/diat_overlap.py:3-246) with two design changes:
+
+* Branch-free: the reference splits pairs into principal-quantum-number
+  classes (jcall in {2,3,4}) with boolean fancy indexing; here every branch
+  is computed densely and selected with masks — static shapes for XLA.
+* The local->molecular frame rotation collapses analytically: with the bond
+  unit vector v, the overlap block is
+      S[0,0]    = S_ss
+      S[p,0]    =  S_sigma_s * v_p
+      S[0,p]    = -S_s_sigma * v_p
+      S[p,q]    = -S_sigma_sigma * v_p v_q + S_pi_pi * (delta_pq - v_p v_q)
+  which replaces the reference's unrolled direction-cosine table
+  (diat_overlap.py:186-224).
+
+Supported: elements with valence principal quantum number 1 or 2 (H..F),
+matching the reference's actual coverage (its jcall table raises for row-3
+elements, diat_overlap.py:65-72).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+SQRT3 = 1.7320508075688772
+
+
+def a_integrals(x0):
+    """Auxiliary A_k(x) = int_1^inf t^k exp(-x t) dt for k=0..4.
+
+    x0 == 0 (padding / same-zeta-zero cases) maps to A_k = 0 via the x->inf
+    substitution, mirroring diat_overlap.py:284-285.
+    """
+    inf = jnp.asarray(jnp.inf, dtype=x0.dtype)
+    x = jnp.where(x0 != 0.0, x0, inf)
+    a1 = jnp.exp(-x) / x
+    a2 = a1 + a1 / x
+    a3 = a1 + 2.0 * a2 / x
+    a4 = a1 + 3.0 * a3 / x
+    a5 = a1 + 4.0 * a4 / x
+    return jnp.stack([a1, a2, a3, a4, a5], axis=-1)
+
+
+def b_integrals(x0):
+    """Auxiliary B_k(x) = int_{-1}^{1} t^k exp(-x t) dt for k=0..4.
+
+    Three regimes as in the reference (diat_overlap.py:300-393):
+    |x| > 0.5 exact recursion, 1e-6 < |x| <= 0.5 Taylor series,
+    |x| <= 1e-6 limiting values.  Each branch evaluates on a sanitized
+    copy of x so the unselected branch never produces NaN (keeps grads
+    clean through jnp.where).
+    """
+    dtype = x0.dtype
+    absx = jnp.abs(x0)
+    exact = absx > 0.5
+    taylor = (absx <= 0.5) & (absx > 1.0e-6)
+
+    # exact branch
+    xs = jnp.where(exact, x0, jnp.asarray(1.0, dtype))
+    tx = jnp.exp(xs) / xs
+    tmx = -jnp.exp(-xs) / xs
+    e1 = tx + tmx
+    e2 = -tx + tmx + e1 / xs
+    e3 = tx + tmx + 2.0 * e2 / xs
+    e4 = -tx + tmx + 3.0 * e3 / xs
+    e5 = tx + tmx + 4.0 * e4 / xs
+
+    # small-x Taylor branch
+    xt = jnp.where(taylor, x0, jnp.asarray(0.0, dtype))
+    x2 = xt * xt
+    t1 = 2.0 + x2 / 3.0 + x2 * x2 / 60.0 + x2 * x2 * x2 / 2520.0
+    t3 = 2.0 / 3.0 + x2 / 5.0 + x2 * x2 / 84.0 + x2 * x2 * x2 / 3240.0
+    t5 = 2.0 / 5.0 + x2 / 7.0 + x2 * x2 / 108.0 + x2 * x2 * x2 / 3960.0
+    t2 = -2.0 / 3.0 * xt - xt * x2 / 15.0 - xt * x2 * x2 / 420.0
+    t4 = -2.0 / 5.0 * xt - xt * x2 / 21.0 - xt * x2 * x2 / 540.0
+
+    # |x| <= 1e-6 limits
+    l1 = jnp.asarray(2.0, dtype)
+    l3 = jnp.asarray(2.0 / 3.0, dtype)
+    l5 = jnp.asarray(2.0 / 5.0, dtype)
+
+    b1 = jnp.where(exact, e1, jnp.where(taylor, t1, l1))
+    b2 = jnp.where(exact, e2, jnp.where(taylor, t2, 0.0))
+    b3 = jnp.where(exact, e3, jnp.where(taylor, t3, l3))
+    b4 = jnp.where(exact, e4, jnp.where(taylor, t4, 0.0))
+    b5 = jnp.where(exact, e5, jnp.where(taylor, t5, 0.0 * l5 + l5))
+    return jnp.stack([b1, b2, b3, b4, b5], axis=-1)
+
+
+def _ab(rij, z1, z2):
+    """A/B integral stacks for one zeta combination (cf. SET, diat_overlap.py:253)."""
+    return a_integrals(0.5 * rij * (z1 + z2)), b_integrals(0.5 * rij * (z1 - z2))
+
+
+def diatom_overlap(qni, qnj, xij, rij, zeta_i, zeta_j):
+    """Overlap 4x4 block between the AOs of an (i, j) pair.
+
+    Args:
+      qni, qnj: (...,) int valence principal quantum numbers (i heavier: qni>=qnj).
+      xij: (..., 3) unit vector i->j.
+      rij: (...,) distance in Bohr.
+      zeta_i, zeta_j: (..., 2) [zeta_s, zeta_p] orbital exponents.
+
+    Returns: (..., 4, 4) overlap in the molecular frame (rows: AOs on i).
+    """
+    dtype = rij.dtype
+    jcall2 = (qni == 1) & (qnj == 1)
+    jcall3 = (qni == 2) & (qnj == 1)
+    jcall4 = (qni == 2) & (qnj == 2)
+
+    zsi, zpi = zeta_i[..., 0], zeta_i[..., 1]
+    zsj, zpj = zeta_j[..., 0], zeta_j[..., 1]
+    r2 = rij * rij
+    r4 = r2 * r2
+    r5 = r4 * rij
+
+    # --- s(i)-s(j) ---
+    A, B = _ab(rij, zsi, zsj)
+    s111_2 = jnp.power(zsi * zsj * r2, 1.5) * (A[..., 2] * B[..., 0] - B[..., 2] * A[..., 0]) / 4.0
+    s111_3 = (jnp.power(zsj, 1.5) * jnp.power(zsi, 2.5) * r4
+              * (A[..., 3] * B[..., 0] - B[..., 3] * A[..., 0]
+                 + A[..., 2] * B[..., 1] - B[..., 2] * A[..., 1]) / (SQRT3 * 8.0))
+    s111_4 = (jnp.power(zsj * zsi, 2.5) * r5
+              * (A[..., 4] * B[..., 0] + B[..., 4] * A[..., 0]
+                 - 2.0 * A[..., 2] * B[..., 2]) / 48.0)
+    S111 = jnp.where(jcall2, s111_2, jnp.where(jcall3, s111_3,
+                     jnp.where(jcall4, s111_4, 0.0))).astype(dtype)
+
+    # --- p_sigma(i)-s(j) ---
+    A, B = _ab(rij, zpi, zsj)
+    s211_3 = (jnp.power(zsj, 1.5) * jnp.power(zpi, 2.5) * r4
+              * (A[..., 2] * B[..., 0] - B[..., 2] * A[..., 0]
+                 + A[..., 3] * B[..., 1] - B[..., 3] * A[..., 1]) / 8.0)
+    s211_4 = (jnp.power(zsj * zpi, 2.5) * r5
+              * (A[..., 3] * (B[..., 0] - B[..., 2])
+                 - A[..., 1] * (B[..., 2] - B[..., 4])
+                 + B[..., 3] * (A[..., 0] - A[..., 2])
+                 - B[..., 1] * (A[..., 2] - A[..., 4])) / (16.0 * SQRT3))
+    S211 = jnp.where(jcall3, s211_3, jnp.where(jcall4, s211_4, 0.0)).astype(dtype)
+
+    # --- s(i)-p_sigma(j) ---
+    A, B = _ab(rij, zsi, zpj)
+    s121_4 = (jnp.power(zpj * zsi, 2.5) * r5
+              * (A[..., 3] * (B[..., 0] - B[..., 2])
+                 - A[..., 1] * (B[..., 2] - B[..., 4])
+                 - B[..., 3] * (A[..., 0] - A[..., 2])
+                 + B[..., 1] * (A[..., 2] - A[..., 4])) / (16.0 * SQRT3))
+    S121 = jnp.where(jcall4, s121_4, 0.0).astype(dtype)
+
+    # --- p(i)-p(j) ---
+    A, B = _ab(rij, zpi, zpj)
+    wf = jnp.power(zpj * zpi, 2.5) * r5 / 16.0
+    s221_4 = -wf * (B[..., 2] * (A[..., 4] + A[..., 0]) - A[..., 2] * (B[..., 4] + B[..., 0]))
+    s222_4 = 0.5 * wf * (A[..., 4] * (B[..., 0] - B[..., 2])
+                         - B[..., 4] * (A[..., 0] - A[..., 2])
+                         - A[..., 2] * B[..., 0] + B[..., 2] * A[..., 0])
+    S221 = jnp.where(jcall4, s221_4, 0.0).astype(dtype)
+    S222 = jnp.where(jcall4, s222_4, 0.0).astype(dtype)
+
+    # bond direction with the reference's near-axis regularization
+    # (diat_overlap.py:24-45): below xy < 1e-10 snap to +-z.
+    xy = jnp.sqrt(xij[..., 0] ** 2 + xij[..., 1] ** 2)
+    zsign = jnp.sign(xij[..., 2])
+    v = jnp.where((xy >= 1.0e-10)[..., None], xij,
+                  jnp.stack([jnp.zeros_like(zsign), jnp.zeros_like(zsign), zsign], axis=-1))
+
+    eye3 = jnp.eye(3, dtype=dtype)
+    vv = v[..., :, None] * v[..., None, :]            # (..., 3, 3)
+    pp = -S221[..., None, None] * vv + S222[..., None, None] * (eye3 - vv)
+
+    di = jnp.zeros(rij.shape + (4, 4), dtype=dtype)
+    di = di.at[..., 0, 0].set(S111)
+    di = di.at[..., 1:, 0].set(S211[..., None] * v)
+    di = di.at[..., 0, 1:].set(-S121[..., None] * v)
+    di = di.at[..., 1:, 1:].set(pp)
+    return di

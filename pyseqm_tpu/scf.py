@@ -1,0 +1,371 @@
+"""SCF engine: fixed-point convergers + differentiation rules.
+
+Rebuild of seqm/seqm_functions/scf_loop.py:32-806 as compiled JAX control
+flow:
+
+* The three convergers (constant mixing / adaptive mixing / adaptive+Pulay
+  DIIS, cf. scf_forward0/1/2) run inside one ``lax.while_loop`` whose body
+  switches on the iteration phase.  Per-molecule convergence masking is done
+  with ``jnp.where`` holds instead of boolean subsetting — converged
+  molecules stop changing but keep riding the batch.
+* The DIIS machinery (nFock=5 ring buffer of [F,P] commutators, EMAT linear
+  system, scf_loop.py:264-510) uses fixed-size buffers with a modular
+  counter; the variable-size EMAT inverse becomes a masked identity-embedded
+  6x6 solve.
+* Differentiation:
+  - backward mode 0 (Hellmann-Feynman): the converged density is a
+    constant (stop_gradient); downstream energy terms still differentiate
+    through Hcore/w.
+  - mode 1: ``jax.custom_vjp`` implementing the recursive adjoint of the
+    SCF fixed point (cf. SCF.backward, scf_loop.py:557-657): iterate VJPs
+    of one Fock+eigh step until the running cotangent decays.
+  - mode 2: re-run the iteration as a fixed-length ``lax.scan`` and let
+    reverse-mode AD unroll through it (cf. backward=True paths).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .constants import Constants
+from .ops.density import sp2, sym_eig
+from .ops.fock import fock
+from .ops.matrix import grid_to_mat
+from .system import System
+
+SCF_PARAM_NAMES = ("g_ss", "g_pp", "g_sp", "g_p2", "h_sp")
+
+
+@dataclasses.dataclass(frozen=True)
+class SCFConfig:
+    eps: float = 1.0e-4                 # |dEelec| convergence (eV)
+    converger: Tuple = (2,)             # (0, alpha) | (1,) | (2,)
+    use_sp2: bool = False
+    sp2_eps: float = 1.0e-4
+    max_iter: int = 1000
+    backward: int = 0                   # 0 HF | 1 adjoint | 2 unrolled
+    backward_eps: float = 1.0e-2
+    backward_max_iter: int = 10
+    backward_diverge_min_iter: int = 5
+    backward_scan_iters: int = 100      # fixed length for mode 2
+
+
+def init_density(const: Constants, sys: System) -> jnp.ndarray:
+    """Neutral-atom diagonal initial guess (cf. scf_loop.py:700-710)."""
+    nmol, A = sys.species.shape
+    dtype = sys.coordinates.dtype
+    q = const.tore[sys.species].astype(dtype) / 4.0
+    q = jnp.where(sys.species == 1, 1.0, q)
+    q = jnp.where(sys.atom_mask, q, 0.0)
+    blk = jnp.zeros((nmol, A, 4, 4), dtype=dtype)
+    blk = blk.at[..., 0, 0].set(q)
+    pq = jnp.where(sys.heavy_mask, q, 0.0)
+    for k in (1, 2, 3):
+        blk = blk.at[..., k, k].set(pq)
+    g = jnp.zeros((nmol, A, A, 4, 4), dtype=dtype)
+    idx = jnp.arange(A)
+    g = g.at[:, idx, idx].set(blk)
+    return grid_to_mat(g)
+
+
+def _make_density(sys: System, cfg: SCFConfig, differentiable: bool):
+    if cfg.use_sp2 and not differentiable:
+        return lambda F: sp2(sys, F, cfg.sp2_eps)
+    return lambda F: sym_eig(sys, F)[1]
+
+
+class _State(NamedTuple):
+    P: jnp.ndarray
+    Pold: jnp.ndarray
+    F: jnp.ndarray
+    Eelec: jnp.ndarray
+    err: jnp.ndarray
+    notconverged: jnp.ndarray
+    k: jnp.ndarray
+    cfock: jnp.ndarray
+    counter: jnp.ndarray
+    FOCK: jnp.ndarray
+    FPPF: jnp.ndarray
+    EMAT: jnp.ndarray
+
+
+_NFOCK = 5
+
+
+def _elec_energy(P, F, H):
+    return 0.5 * jnp.sum(P * (H + F), axis=(1, 2))
+
+
+def _adaptive_fac(Pnew, P, Pold):
+    """MOPAC cnvg.f damping factor from density-diagonal deltas."""
+    d_new = jnp.diagonal(Pnew, axis1=-2, axis2=-1)
+    d_cur = jnp.diagonal(P, axis1=-2, axis2=-1)
+    d_old = jnp.diagonal(Pold, axis1=-2, axis2=-1)
+    num = jnp.sum((d_new - d_cur) ** 2, axis=-1)
+    den = jnp.sum((d_new - 2.0 * d_cur + d_old) ** 2, axis=-1)
+    return jnp.sqrt(num / jnp.where(den > 0.0, den, 1.0))
+
+
+def _emat_init(nmol, dtype):
+    """Lower-triangle -1 pattern incl. the DIIS constraint row (scf_loop.py:285)."""
+    E = np.tril(np.eye(_NFOCK + 1) - 1.0)
+    return jnp.broadcast_to(jnp.asarray(E, dtype), (nmol, _NFOCK + 1, _NFOCK + 1))
+
+
+def scf_iterate(
+    sys: System,
+    M: jnp.ndarray,
+    w: jnp.ndarray,
+    p: Dict[str, jnp.ndarray],
+    P0: jnp.ndarray,
+    cfg: SCFConfig,
+    differentiable: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Run the fixed-point iteration; returns (Pconv, notconverged).
+
+    ``differentiable=False`` uses a while_loop (forward-only);
+    ``differentiable=True`` uses a fixed-length scan that reverse-mode AD
+    can unroll (backward mode 2).
+    """
+    density = _make_density(sys, cfg, differentiable)
+    H = grid_to_mat(M)
+    conv = cfg.converger[0]
+    alpha = cfg.converger[1] if conv == 0 else 0.0
+
+    F1 = fock(sys, P0, M, w, p)
+    E1 = _elec_energy(P0, F1, H)
+    nmol = P0.shape[0]
+    dtype = P0.dtype
+    nF = jnp.zeros((nmol, _NFOCK) + P0.shape[1:], dtype=dtype)
+    st0 = _State(
+        P=P0, Pold=jnp.zeros_like(P0), F=F1, Eelec=E1,
+        err=jnp.ones(nmol, dtype=dtype),
+        notconverged=jnp.ones(nmol, dtype=bool),
+        k=jnp.asarray(0), cfock=jnp.asarray(0), counter=jnp.asarray(-1),
+        FOCK=nF, FPPF=nF, EMAT=_emat_init(nmol, dtype),
+    )
+
+    def finish(st, P, Pold, extra=None):
+        """Common tail: rebuild F, energies, masked commit."""
+        nc = st.notconverged
+        ncm = nc[:, None, None]
+        P = jnp.where(ncm, P, st.P)
+        Pold = jnp.where(ncm, Pold, st.Pold)
+        F = fock(sys, P, M, w, p)
+        Enew = _elec_energy(P, F, H)
+        err = jnp.where(nc, jnp.abs(Enew - st.Eelec), st.err)
+        Eelec = jnp.where(nc, Enew, st.Eelec)
+        notconverged = err > cfg.eps
+        d = dict(P=P, Pold=Pold, F=F, Eelec=Eelec, err=err,
+                 notconverged=notconverged, k=st.k + 1,
+                 cfock=st.cfock, counter=st.counter,
+                 FOCK=st.FOCK, FPPF=st.FPPF, EMAT=st.EMAT)
+        if extra:
+            d.update(extra)
+        return _State(**d)
+
+    def phase_direct(st):
+        Pnew = density(st.F)
+        return finish(st, Pnew, st.P)
+
+    def phase_mix(st):
+        Pnew = density(st.F)
+        return finish(st, alpha * st.P + (1.0 - alpha) * Pnew, st.P)
+
+    def phase_adaptive(st):
+        Pnew = density(st.F)
+        fac = _adaptive_fac(Pnew, st.P, st.Pold)[:, None, None]
+        return finish(st, (1.0 + fac) * Pnew - fac * st.P, st.P)
+
+    def _record(st, F, P):
+        """Push (F, [F,P]) into the ring buffer & refresh the EMAT row."""
+        nc = st.notconverged
+        cfock = jnp.minimum(st.cfock + 1, _NFOCK)
+        counter = (st.counter + 1) % _NFOCK
+        comm = jnp.triu(F @ P - P @ F)
+        FOCK = jnp.where(nc[:, None, None, None],
+                         st.FOCK.at[:, counter].set(F), st.FOCK)
+        FPPF = jnp.where(nc[:, None, None, None],
+                         st.FPPF.at[:, counter].set(comm), st.FPPF)
+        dots = jnp.einsum('nij,nkij->nk', comm, FPPF)  # (nmol, 5)
+        cols = jnp.arange(_NFOCK) < cfock
+        row = jnp.where(cols[None, :] & nc[:, None],
+                        dots, st.EMAT[:, counter, :_NFOCK])
+        EMAT = st.EMAT.at[:, counter, :_NFOCK].set(row)
+        return cfock, counter, FOCK, FPPF, EMAT
+
+    def phase_diis_warm(st):
+        # record current (F, P), then take the new density directly
+        cfock, counter, FOCK, FPPF, EMAT = _record(st, st.F, st.P)
+        Pnew = density(st.F)
+        return finish(st, Pnew, st.Pold,
+                      extra=dict(cfock=cfock, counter=counter,
+                                 FOCK=FOCK, FPPF=FPPF, EMAT=EMAT))
+
+    def phase_diis(st):
+        nc = st.notconverged
+        cfock, counter = st.cfock, st.counter
+        # EVEC: symmetrized EMAT scaled by the newest diagonal element
+        EVEC = st.EMAT + jnp.swapaxes(jnp.tril(st.EMAT, -1), -1, -2)
+        scale = EVEC[:, counter, counter][:, None, None]
+        i = jnp.arange(_NFOCK + 1)
+        lead = (i[:, None] < cfock) & (i[None, :] < cfock)
+        EVEC = jnp.where(lead[None], EVEC / scale, EVEC)
+        # invert the (cfock+1) leading block via identity embedding
+        sel = (i[:, None] <= cfock) & (i[None, :] <= cfock)
+        B = jnp.where(sel[None], EVEC, jnp.eye(_NFOCK + 1, dtype=EVEC.dtype)[None])
+        rhs = jax.nn.one_hot(cfock, _NFOCK + 1, dtype=EVEC.dtype)
+        col = jnp.linalg.solve(B, jnp.broadcast_to(rhs[:, None], B.shape[:1] + (6, 1)))[..., 0]
+        coeff = -col[:, :_NFOCK] * (jnp.arange(_NFOCK)[None, :] < cfock)
+        Fd = jnp.einsum('nk,nkij->nij', coeff, st.FOCK)
+        Fd = jnp.where(nc[:, None, None], Fd, st.F)
+
+        Pnew = density(Fd)
+        ncm = nc[:, None, None]
+        P = jnp.where(ncm, Pnew, st.P)
+        F = fock(sys, P, M, w, p)
+        st2 = st._replace(P=P, F=jnp.where(ncm, F, st.F))
+        cfock, counter, FOCK, FPPF, EMAT = _record(st2, st2.F, st2.P)
+        Enew = _elec_energy(st2.P, st2.F, H)
+        err = jnp.where(nc, jnp.abs(Enew - st.Eelec), st.err)
+        Eelec = jnp.where(nc, Enew, st.Eelec)
+        return _State(P=st2.P, Pold=st.Pold, F=st2.F, Eelec=Eelec, err=err,
+                      notconverged=err > cfg.eps, k=st.k + 1,
+                      cfock=cfock, counter=counter,
+                      FOCK=FOCK, FPPF=FPPF, EMAT=EMAT)
+
+    if conv == 0:
+        branches = [phase_mix]
+        phase_of = lambda st: jnp.asarray(0)
+    elif conv == 1:
+        branches = [phase_direct, phase_adaptive]
+        phase_of = lambda st: jnp.where(st.k < 2, 0, 1)
+    elif conv == 2:
+        branches = [phase_direct, phase_adaptive, phase_diis_warm, phase_diis]
+        phase_of = lambda st: jnp.where(
+            st.k < 2, 0, jnp.where(st.k < 3, 1, jnp.where(st.cfock < 2, 2, 3)))
+    else:
+        raise ValueError(f"unknown converger {cfg.converger}")
+
+    def body(st):
+        return jax.lax.switch(phase_of(st), branches, st)
+
+    if differentiable:
+        def scan_body(st, _):
+            st = body(st)
+            return st, None
+        st, _ = jax.lax.scan(scan_body, st0, None, length=cfg.backward_scan_iters)
+    else:
+        st = jax.lax.while_loop(
+            lambda st: jnp.any(st.notconverged) & (st.k < cfg.max_iter),
+            body, st0)
+    return st.P, st.notconverged
+
+
+# ------------------------------------------------------------------
+# Differentiation wrappers
+# ------------------------------------------------------------------
+
+def _float0_zeros(x):
+    if jnp.issubdtype(jnp.result_type(x), jnp.floating):
+        return jnp.zeros_like(x)
+    return np.zeros(jnp.shape(x), dtype=jax.dtypes.float0)
+
+
+def _zero_cotangent(tree):
+    return jax.tree_util.tree_map(_float0_zeros, tree)
+
+
+def make_scf_apply(cfg: SCFConfig):
+    """SCF solve with the recursive-adjoint VJP (backward mode 1)."""
+
+    @jax.custom_vjp
+    def scf_apply(sys, M, w, pscf, P0):
+        return scf_iterate(sys, M, w, pscf, P0, cfg)
+
+    def fwd(sys, M, w, pscf, P0):
+        P, notconverged = scf_iterate(sys, M, w, pscf, P0, cfg)
+        return (P, notconverged), (sys, M, w, pscf, P, notconverged)
+
+    def bwd(res, ct):
+        sys, M, w, pscf, Pconv, notconverged = res
+        gP0, _ = ct
+
+        def step(P, M, w, pscf):
+            return sym_eig(sys, fock(sys, P, M, w, pscf))[1]
+
+        _, vjp = jax.vjp(step, Pconv, M, w, pscf)
+        converged = ~notconverged
+
+        def gmax(g):
+            return jnp.max(jnp.abs(g), axis=(1, 2))
+
+        acc0 = _zero_cotangent((M, w, pscf))
+        acc0 = jax.tree_util.tree_map(jnp.asarray, (M * 0.0, w * 0.0,
+                                                    {k: v * 0.0 for k, v in pscf.items()}))
+
+        def cond(carry):
+            g, acc, k, prev_max, stop = carry
+            return (~stop) & (k < cfg.backward_max_iter)
+
+        def body(carry):
+            g, (aM, aw, ap), k, prev_max, _ = carry
+            gP, gM, gw, gp = vjp(g)
+            aM = aM + gM
+            aw = aw + gw
+            ap = {n: ap[n] + gp[n] for n in ap}
+            cur_max = gmax(gP)
+            err = jnp.max(jnp.where(converged, cur_max, 0.0))
+            diverged = (cur_max > prev_max) & (cur_max >= 1.0)
+            stop = (err < cfg.backward_eps) | (
+                jnp.any(diverged) & (k + 1 >= cfg.backward_diverge_min_iter))
+            return gP, (aM, aw, ap), k + 1, cur_max, stop
+
+        gmax0 = gmax(gP0)
+        g, (aM, aw, ap), k, last_max, _ = jax.lax.while_loop(
+            cond, body, (gP0, acc0, jnp.asarray(0), gmax0, jnp.asarray(False)))
+
+        # zero gradients of molecules that failed forward or backward
+        bad = notconverged | (last_max > cfg.backward_eps) | ~jnp.isfinite(last_max)
+        keep = (~bad).astype(aM.dtype)
+        aM = aM * keep[:, None, None, None, None]
+        aw = aw * keep[:, None, None, None, None, None]
+        ap = {n: v * keep[:, None] for n, v in ap.items()}
+        return (_zero_cotangent(sys), aM, aw, ap, jnp.zeros_like(gP0))
+
+    scf_apply.defvjp(fwd, bwd)
+    return scf_apply
+
+
+def scf_solve(
+    const: Constants,
+    sys: System,
+    M: jnp.ndarray,
+    w: jnp.ndarray,
+    p: Dict[str, jnp.ndarray],
+    cfg: SCFConfig,
+    P0: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Top-level SCF dispatch on cfg.backward (cf. scf_loop, scf_loop.py:671).
+
+    Returns (Pconv, notconverged).  Mode 0 returns a stop_gradient'ed
+    density (Hellmann-Feynman forces); mode 1 attaches the adjoint VJP;
+    mode 2 is differentiable by unrolling.
+    """
+    pscf = {k: p[k] for k in SCF_PARAM_NAMES}
+    if P0 is None or cfg.backward == 2:
+        P0 = init_density(const, sys)
+    if cfg.backward == 0:
+        P, nc = scf_iterate(sys, M, w, pscf, P0, cfg)
+        return jax.lax.stop_gradient(P), nc
+    if cfg.backward == 1:
+        return make_scf_apply(cfg)(sys, M, w, pscf, P0)
+    if cfg.backward == 2:
+        if cfg.converger[0] not in (0, 1):
+            raise ValueError("backward mode 2 requires converger (0, alpha) or (1,)")
+        return scf_iterate(sys, M, w, pscf, P0, cfg, differentiable=True)
+    raise ValueError(f"unknown backward mode {cfg.backward}")

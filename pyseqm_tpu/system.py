@@ -1,0 +1,167 @@
+"""Molecular system representation and geometry preprocessing.
+
+TPU-native redesign of the reference ``Parser`` (seqm/basics.py:31-118).
+
+The reference builds flat ragged index lists (real-atom list, pair list with
+data-dependent lengths) which force dynamic shapes.  Here every tensor keeps
+the static batch layout ``(nmol, A)`` for atoms and ``(nmol, NP)`` for pairs,
+where ``NP = A*(A-1)/2`` enumerates the upper triangle of the atom grid with
+*static* index arrays.  Invalid entries (padding atoms, pairs beyond the
+cutoff) are masked, not removed — compute-all-and-mask is the XLA-friendly
+equivalent of the reference's boolean fancy indexing.
+
+Convention (same as reference, doc/documentation.md:152-163): atoms within a
+molecule sorted by descending atomic number, zero padding at the end.  This
+guarantees Z_i >= Z_j for every (i<j) pair, which the integral routines rely
+on.  Use :func:`sort_species` to canonicalize host-side inputs.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+from jax import tree_util
+
+from .constants import Constants, LENGTH_CONVERSION_FACTOR
+
+
+@functools.lru_cache(maxsize=None)
+def pair_index(A: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Static upper-triangle pair indices (i<j) for an A-atom molecule."""
+    iu, ju = np.triu_indices(A, k=1)
+    return iu.astype(np.int32), ju.astype(np.int32)
+
+
+@tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class System:
+    """Batched molecular system with derived pair geometry (a pytree).
+
+    Shapes: nmol = batch, A = molsize (padded), NP = A*(A-1)/2.
+    All fields are traced arrays; build inside jit with :func:`make_system`
+    so forces differentiate through ``rij``/``xij``.
+    """
+
+    species: jnp.ndarray        # (nmol, A) int32, 0 = padding
+    coordinates: jnp.ndarray    # (nmol, A, 3) Angstrom
+    charges: jnp.ndarray        # (nmol,) net molecular charge
+
+    atom_mask: jnp.ndarray      # (nmol, A) bool: real atom
+    heavy_mask: jnp.ndarray     # (nmol, A) bool: Z > 1
+    nheavy: jnp.ndarray         # (nmol,) int32
+    nhydro: jnp.ndarray         # (nmol,) int32
+    nocc: jnp.ndarray           # (nmol,) int32 occupied MOs
+    norb: jnp.ndarray           # (nmol,) int32 = 4*nheavy + nhydro
+
+    # pair quantities on the static (i<j) triangle
+    pair_i: jnp.ndarray         # (NP,) int32 static atom index i
+    pair_j: jnp.ndarray         # (NP,) int32 static atom index j
+    zi: jnp.ndarray             # (nmol, NP) int32 atomic number of atom i
+    zj: jnp.ndarray             # (nmol, NP) int32
+    pair_mask: jnp.ndarray      # (nmol, NP) bool: both real & inside cutoff
+    rij: jnp.ndarray            # (nmol, NP) distance in Bohr (1 where masked)
+    xij: jnp.ndarray            # (nmol, NP, 3) unit vector i->j
+
+    @property
+    def nmol(self) -> int:
+        return self.species.shape[0]
+
+    @property
+    def molsize(self) -> int:
+        return self.species.shape[1]
+
+    @property
+    def npairs(self) -> int:
+        return self.pair_i.shape[0]
+
+
+def sort_species(species: np.ndarray, coordinates: np.ndarray):
+    """Host-side helper: sort atoms of each molecule by descending Z.
+
+    Stable sort so equal-Z atoms keep their input order.  Returns sorted
+    copies (numpy).
+    """
+    species = np.asarray(species)
+    coordinates = np.asarray(coordinates)
+    order = np.argsort(-species, axis=1, kind="stable")
+    s = np.take_along_axis(species, order, axis=1)
+    c = np.take_along_axis(coordinates, order[..., None], axis=1)
+    return s, c
+
+
+def validate(species: np.ndarray, charges: Optional[np.ndarray] = None,
+             tore: Optional[np.ndarray] = None):
+    """Host-side checks mirroring the reference's runtime assertions."""
+    from .constants import _TORE, MAX_Z
+
+    species = np.asarray(species)
+    if (species < 0).any() or (species > MAX_Z).any():
+        raise ValueError("unsupported element: atomic numbers must be in [0, 18]")
+    if not (np.diff(species, axis=1) <= 0).all():
+        raise ValueError("atoms must be sorted by descending atomic number "
+                         "(use pyseqm_tpu.system.sort_species)")
+    tore = np.asarray(_TORE) if tore is None else np.asarray(tore)
+    n_charge = tore[species].sum(axis=1).astype(np.int64)
+    if charges is not None:
+        n_charge = n_charge - np.asarray(charges).astype(np.int64)
+    if (n_charge % 2 == 1).any():
+        raise ValueError("only closed-shell systems (even electron count) are supported")
+
+
+def make_system(
+    const: Constants,
+    species: jnp.ndarray,
+    coordinates: jnp.ndarray,
+    charges: Optional[jnp.ndarray] = None,
+    pair_outer_cutoff: float = 1.0e10,
+) -> System:
+    """Build a :class:`System` (jit-safe; differentiable wrt coordinates).
+
+    ``pair_outer_cutoff`` is in the units of ``coordinates`` (Angstrom),
+    matching the reference's 'pair_outer_cutoff' setting (basics.py:96-98).
+    """
+    species = jnp.asarray(species, dtype=jnp.int32)
+    nmol, A = species.shape
+    dtype = coordinates.dtype
+    if charges is None:
+        charges = jnp.zeros((nmol,), dtype=jnp.int32)
+
+    atom_mask = species > 0
+    heavy_mask = species > 1
+    nheavy = jnp.sum(heavy_mask, axis=1).astype(jnp.int32)
+    nhydro = jnp.sum(species == 1, axis=1).astype(jnp.int32)
+    norb = 4 * nheavy + nhydro
+    n_charge = jnp.sum(const.tore[species], axis=1).astype(jnp.int32) - charges
+    nocc = n_charge // 2
+
+    iu, ju = pair_index(A)
+    iu = jnp.asarray(iu)
+    ju = jnp.asarray(ju)
+    zi = species[:, iu]
+    zj = species[:, ju]
+
+    dvec = coordinates[:, ju, :] - coordinates[:, iu, :]  # i -> j
+    dist2 = jnp.sum(dvec * dvec, axis=-1)
+    # guard duplicated-atom / padding zero distances (reference basics.py:93)
+    dist2 = jnp.where(dist2 == 0.0, jnp.asarray(1.0e-4, dtype), dist2)
+    dist = jnp.sqrt(dist2)
+    pair_mask = (zi > 0) & (zj > 0) & (dist < pair_outer_cutoff)
+
+    rij = dist * LENGTH_CONVERSION_FACTOR
+    # keep masked rij finite & away from 0 so integral formulas stay safe
+    rij = jnp.where(pair_mask, rij, jnp.asarray(1.0, dtype))
+    xij = dvec / dist[..., None]
+    xij = jnp.where(pair_mask[..., None], xij,
+                    jnp.asarray([0.0, 0.0, 1.0], dtype))
+
+    return System(
+        species=species, coordinates=coordinates,
+        charges=jnp.asarray(charges),
+        atom_mask=atom_mask, heavy_mask=heavy_mask,
+        nheavy=nheavy, nhydro=nhydro, nocc=nocc, norb=norb,
+        pair_i=iu, pair_j=ju, zi=zi, zj=zj,
+        pair_mask=pair_mask, rij=rij, xij=xij,
+    )

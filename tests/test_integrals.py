@@ -1,0 +1,105 @@
+"""Parity of the integral / matrix-assembly layers against the PyTorch
+reference goldens (float64): two-electron integrals w, Hcore, first Fock
+build.  Mixed batch: CH2O + H2O-with-padding exercises masking."""
+import functools
+
+import jax
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+import pyseqm_tpu as pq
+from pyseqm_tpu.ops.fock import fock
+from pyseqm_tpu.ops.hcore import hcore
+from pyseqm_tpu.ops.matrix import grid_to_mat
+from pyseqm_tpu.parameters import gather_atom_parameters
+from pyseqm_tpu.scf import init_density
+
+# jit everything once; the cache is shared across the 3 methods because
+# shapes/dtypes are identical (eager JAX per-op dispatch is far too slow)
+hcore_jit = jax.jit(hcore)
+fock_jit = jax.jit(fock)
+init_density_jit = jax.jit(init_density)
+
+
+@functools.partial(jax.jit, static_argnums=(3,))
+def _prep(const, tables, species_coords, method):
+    species, coords = species_coords
+    sys = pq.make_system(const, species, coords)
+    p = gather_atom_parameters(tables, method, sys.species)
+    return sys, p
+
+# reference 10x10 packed triangle ordering:
+# (ss),(px s),(px px),(py s),(py px),(py py),(pz s),(pz px),(pz py),(pz pz)
+TRI_A = np.array([0, 1, 1, 2, 2, 2, 3, 3, 3, 3])
+TRI_B = np.array([0, 0, 1, 0, 1, 2, 0, 1, 2, 3])
+
+METHODS = ["AM1", "MNDO", "PM3"]
+
+
+def setup_method_case(golden, method):
+    g = golden(f"{method.lower()}_ch2o_h2o")
+    const = pq.make_constants(dtype=jnp.float64)
+    tables = pq.load_element_tables(method, dtype=jnp.float64)
+    species = jnp.asarray(g["species"], dtype=jnp.int32)
+    coords = jnp.asarray(g["coordinates"], dtype=jnp.float64)
+    sys, p = _prep(const, tables, (species, coords), method)
+    return g, const, tables, sys, p
+
+
+def ref_pair_map(g, sys):
+    """Map reference flat pair index -> (mol, dense NP index)."""
+    A = int(np.asarray(sys.species).shape[1])
+    iu = np.asarray(sys.pair_i)
+    ju = np.asarray(sys.pair_j)
+    lut = {(i, j): k for k, (i, j) in enumerate(zip(iu, ju))}
+    mols = g["pair_mol"]
+    ks = np.array([lut[(i, j)] for i, j in zip(g["pair_i"], g["pair_j"])])
+    return mols, ks
+
+
+@pytest.mark.parametrize("method", METHODS)
+def test_geometry(golden, method):
+    g, const, tables, sys, p = setup_method_case(golden, method)
+    mols, ks = ref_pair_map(g, sys)
+    np.testing.assert_allclose(np.asarray(sys.rij)[mols, ks], g["rij"], atol=1e-12)
+    np.testing.assert_allclose(np.asarray(sys.xij)[mols, ks], g["xij"], atol=1e-12)
+
+
+@pytest.mark.parametrize("method", METHODS)
+def test_w_integrals(golden, method):
+    g, const, tables, sys, p = setup_method_case(golden, method)
+    M, w = hcore_jit(const, sys, p)
+    mols, ks = ref_pair_map(g, sys)
+    w4 = np.asarray(w)[mols, ks]  # (npairs_ref, 4,4,4,4)
+    w10 = w4[:, TRI_A[:, None], TRI_B[:, None], TRI_A[None, :], TRI_B[None, :]]
+    wref = g["w"]
+    # reference stores only column 0 for X-H pairs / element (0,0) for H-H;
+    # compare where the reference is populated, plus verify consistency of
+    # the richer entries via the Fock parity test.
+    mask = np.abs(wref) > 0
+    np.testing.assert_allclose(w10[mask], wref[mask], atol=5e-12, rtol=1e-9)
+
+
+@pytest.mark.parametrize("method", METHODS)
+def test_hcore(golden, method):
+    g, const, tables, sys, p = setup_method_case(golden, method)
+    M, w = hcore_jit(const, sys, p)
+    H = np.asarray(grid_to_mat(M))
+    Href = g["hcore"]
+    # hydrogen p-orbital rows/cols are dead in the reference (zeroed);
+    # ours may carry (physically inert) values there — compare live entries.
+    live = np.abs(Href) > 0
+    np.testing.assert_allclose(H[live], Href[live], atol=5e-12, rtol=1e-9)
+
+
+@pytest.mark.parametrize("method", METHODS)
+def test_first_fock(golden, method):
+    g, const, tables, sys, p = setup_method_case(golden, method)
+    M, w = hcore_jit(const, sys, p)
+    P0 = init_density_jit(const, sys)
+    np.testing.assert_allclose(np.asarray(P0), g["P0"], atol=1e-14)
+    F1 = np.asarray(fock_jit(sys, P0, M, w, p))
+    Fref = g["fock1"]
+    live = np.abs(Fref) > 0
+    np.testing.assert_allclose(F1[live], Fref[live], atol=5e-11, rtol=1e-9)

@@ -1,0 +1,132 @@
+"""Generate golden reference tensors by running the upstream PYSEQM
+(PyTorch, float64, CPU) and dumping intermediates + results to
+tests/golden/*.npz.
+
+The goldens pin our TPU-native implementation to the reference numerics
+(target: energies within 1e-6 eV).  Run once per change of test fixtures:
+
+    python tools/gen_golden.py
+"""
+import os
+import sys
+
+import numpy as np
+import torch
+
+sys.path.insert(0, "/root/reference")
+
+from seqm.basics import Energy, Force, Parser, Pack_Parameters  # noqa: E402
+from seqm.seqm_functions.constants import Constants  # noqa: E402
+from seqm.seqm_functions.hcore import hcore  # noqa: E402
+from seqm.seqm_functions.fock import fock  # noqa: E402
+
+torch.set_default_dtype(torch.float64)
+
+OUT = os.path.join(os.path.dirname(__file__), "..", "tests", "golden")
+os.makedirs(OUT, exist_ok=True)
+
+# formaldehyde-like molecule reused across the reference tests (tests/test2.py:13-28)
+CH2O = [
+    [0.0000, 0.0000, 0.0000],
+    [1.22732374, 0.0000, 0.0000],
+    [1.8194841064614802, 0.93941263319067747, 0.0000],
+    [1.8193342232738994, -0.93951967178254525, 3.0565334533430606e-06],
+]
+# a bent water molecule, sorted [8,1,1,(pad)]
+H2O = [
+    [0.0000, 0.0000, 0.1173],
+    [0.0000, 0.7572, -0.4692],
+    [0.0000, -0.7572, -0.4692],
+    [0.0000, 0.0000, 0.0000],
+]
+
+SPECIES = [[8, 6, 1, 1], [8, 1, 1, 0]]
+COORDS = [CH2O, H2O]
+
+
+def seqm_parameters(method, elements, converger=[2], sp2=[False], eps=1.0e-10,
+                    **extra):
+    p = {
+        "method": method,
+        "scf_eps": eps,
+        "scf_converger": converger,
+        "sp2": sp2,
+        "elements": elements,
+        "learned": [],
+        "pair_outer_cutoff": 1.0e10,
+    }
+    p.update(extra)
+    return p
+
+
+def run_method(method):
+    device = torch.device("cpu")
+    species = torch.as_tensor(SPECIES, dtype=torch.int64, device=device)
+    coordinates = torch.tensor(COORDS, device=device)
+    const = Constants().to(device)
+    elements = [0] + sorted(set(species.reshape(-1).tolist()))
+    sp = seqm_parameters(method, elements)
+
+    parser = Parser(sp)
+    packpar = Pack_Parameters(sp)
+    nmol, molsize, nHeavy, nHydro, nocc, Z, maskd, atom_molid, mask, \
+        pair_molid, ni, nj, idxi, idxj, xij, rij = parser(const, species, coordinates)
+    p = packpar(Z)
+
+    beta = torch.cat((p["beta_s"].unsqueeze(1), p["beta_p"].unsqueeze(1)), dim=1)
+    M, w = hcore(const, nmol, molsize, maskd, mask, idxi, idxj, ni, nj, xij,
+                 rij, Z, p["zeta_s"], p["zeta_p"], p["U_ss"], p["U_pp"],
+                 p["g_ss"], p["g_pp"], p["g_p2"], p["h_sp"], beta)
+    Hcore = (M.reshape(nmol, molsize, molsize, 4, 4).transpose(2, 3)
+             .reshape(nmol, 4 * molsize, 4 * molsize))
+    Hfull = Hcore.triu() + Hcore.triu(1).transpose(1, 2)
+
+    # pair bookkeeping so the jax side can map its dense pair grid
+    pair_mol = pair_molid.numpy()
+    # local atom indices within the molecule
+    i_loc = (maskd[idxi] // molsize) % molsize
+    j_loc = np.array([m % molsize for m in (maskd[idxj] % (molsize * molsize)).numpy()])
+    i_loc = ((maskd[idxi] - pair_molid * molsize * molsize) // (molsize + 1)).numpy()
+    j_loc = ((maskd[idxj] - pair_molid * molsize * molsize) // (molsize + 1)).numpy()
+
+    # single Fock build from the reference initial guess
+    P0 = torch.zeros_like(M)
+    tore = const.tore
+    P0[maskd[Z > 1], 0, 0] = tore[Z[Z > 1]] / 4.0
+    P0[maskd, 1, 1] = P0[maskd, 0, 0]
+    P0[maskd, 2, 2] = P0[maskd, 0, 0]
+    P0[maskd, 3, 3] = P0[maskd, 0, 0]
+    P0[maskd[Z == 1], 0, 0] = 1.0
+    P0m = (P0.reshape(nmol, molsize, molsize, 4, 4).transpose(2, 3)
+           .reshape(nmol, 4 * molsize, 4 * molsize))
+    F1 = fock(nmol, molsize, P0m, M, maskd, mask, idxi, idxj, w,
+              p["g_ss"], p["g_pp"], p["g_sp"], p["g_p2"], p["h_sp"])
+
+    # full energy + force via the reference high-level modules
+    coords2 = torch.tensor(COORDS, device=device)
+    frc = Force(seqm_parameters(method, elements, eig=True))
+    f, Pconv, Etot, Hf, Eelec, Enuc, Eiso, EnucAB, e_orb, charge, notcnv = frc(
+        const, coords2, species)
+
+    np.savez_compressed(
+        os.path.join(OUT, f"{method.lower()}_ch2o_h2o.npz"),
+        species=np.array(SPECIES), coordinates=np.array(COORDS),
+        pair_mol=pair_mol, pair_i=i_loc, pair_j=j_loc,
+        rij=rij.numpy(), xij=xij.numpy(),
+        w=w.detach().numpy(),
+        hcore=Hfull.detach().numpy(),
+        fock1=F1.detach().numpy(),
+        P0=P0m.detach().numpy(),
+        force=f.detach().numpy(),
+        P=Pconv.detach().numpy(),
+        Etot=Etot.detach().numpy(), Hf=Hf.detach().numpy(),
+        Eelec=Eelec.detach().numpy(), Enuc=Enuc.detach().numpy(),
+        Eiso=Eiso.detach().numpy(), EnucAB=EnucAB.detach().numpy(),
+        e_orb=e_orb.detach().numpy(), charge=charge.detach().numpy(),
+    )
+    print(method, "Hf:", Hf.detach().numpy(), "Etot:", Etot.detach().numpy())
+
+
+if __name__ == "__main__":
+    for m in ["AM1", "MNDO", "PM3"]:
+        run_method(m)
