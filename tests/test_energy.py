@@ -1,0 +1,86 @@
+"""End-to-end parity: SCF energies, heats of formation, orbital energies
+and forces against the float64 PyTorch reference (target: 1e-6 eV)."""
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import pyseqm_tpu as pq
+from pyseqm_tpu.scf import SCFConfig
+
+METHODS = ["AM1", "MNDO", "PM3"]
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _energy(method, use_sp2, const, tables, species, coords):
+    cfg = pq.SEQMConfig(
+        method=method, eig=True,
+        scf=SCFConfig(eps=1.0e-10, converger=(2,), use_sp2=use_sp2,
+                      sp2_eps=1.0e-5))
+    return pq.energy(const, tables, cfg, species, coords)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _force(method, const, tables, species, coords):
+    cfg = pq.SEQMConfig(
+        method=method, scf=SCFConfig(eps=1.0e-10, converger=(2,)))
+    return pq.force(const, tables, cfg, species, coords)
+
+
+def _case(golden, method):
+    g = golden(f"{method.lower()}_ch2o_h2o")
+    const = pq.make_constants(dtype=jnp.float64)
+    tables = pq.load_element_tables(method, dtype=jnp.float64)
+    species = jnp.asarray(g["species"], dtype=jnp.int32)
+    coords = jnp.asarray(g["coordinates"], dtype=jnp.float64)
+    return g, const, tables, species, coords
+
+
+@pytest.mark.parametrize("method", METHODS)
+def test_energy_parity(golden, method):
+    g, const, tables, species, coords = _case(golden, method)
+    out = _energy(method, False, const, tables, species, coords)
+    assert not np.asarray(out.notconverged).any()
+    np.testing.assert_allclose(np.asarray(out.Eelec), g["Eelec"], atol=1e-7)
+    np.testing.assert_allclose(np.asarray(out.Enuc), g["Enuc"], atol=1e-9)
+    np.testing.assert_allclose(np.asarray(out.Etot), g["Etot"], atol=1e-7)
+    np.testing.assert_allclose(np.asarray(out.Eiso_sum), g["Eiso"], atol=1e-9)
+    np.testing.assert_allclose(np.asarray(out.Hf), g["Hf"], atol=1e-6)
+    # orbital energies (zero-padded beyond norb in both implementations)
+    np.testing.assert_allclose(np.asarray(out.e), g["e_orb"], atol=1e-6)
+
+
+@pytest.mark.parametrize("method", ["AM1"])
+def test_energy_parity_sp2(golden, method):
+    g, const, tables, species, coords = _case(golden, method)
+    out = _energy(method, True, const, tables, species, coords)
+    assert not np.asarray(out.notconverged).any()
+    # SP2 accuracy is bounded by its trace-error criterion (eps=1e-5), so
+    # both implementations agree with the eigh result only to ~eps.
+    np.testing.assert_allclose(np.asarray(out.Hf), g["Hf_sp2"], atol=5e-5)
+    np.testing.assert_allclose(np.asarray(out.Hf), g["Hf"], atol=5e-5)
+
+
+@pytest.mark.parametrize("method", METHODS)
+def test_force_parity(golden, method):
+    g, const, tables, species, coords = _case(golden, method)
+    f, out = _force(method, const, tables, species, coords)
+    np.testing.assert_allclose(np.asarray(f), g["force"], atol=1e-6)
+
+
+def test_force_finite_difference(golden):
+    """Analytic force vs central finite differences of Hf (AM1)."""
+    g, const, tables, species, coords = _case(golden, "AM1")
+    f, out = _force("AM1", const, tables, species, coords)
+    h = 1.0e-4
+    rng = np.random.RandomState(0)
+    d = rng.randn(*np.asarray(coords).shape)
+    d[np.asarray(species) == 0] = 0.0
+    d = jnp.asarray(d)
+    ep = _energy("AM1", False, const, tables, species, coords + h * d).Hf
+    em = _energy("AM1", False, const, tables, species, coords - h * d).Hf
+    dE_num = (np.asarray(ep) - np.asarray(em)) / (2 * h)
+    dE_ana = -np.sum(np.asarray(f) * np.asarray(d), axis=(1, 2))
+    np.testing.assert_allclose(dE_ana, dE_num, atol=1e-5)

@@ -108,8 +108,14 @@ def run_method(method):
     f, Pconv, Etot, Hf, Eelec, Enuc, Eiso, EnucAB, e_orb, charge, notcnv = frc(
         const, coords2, species)
 
+    # SP2 density path golden (same molecules, sp2 purification)
+    coords3 = torch.tensor(COORDS, device=device)
+    frc2 = Force(seqm_parameters(method, elements, sp2=[True, 1.0e-5]))
+    f2, _, _, Hf_sp2 = frc2(const, coords3, species)[:4]
+
     np.savez_compressed(
         os.path.join(OUT, f"{method.lower()}_ch2o_h2o.npz"),
+        Hf_sp2=Hf_sp2.detach().numpy(), force_sp2=f2.detach().numpy(),
         species=np.array(SPECIES), coordinates=np.array(COORDS),
         pair_mol=pair_mol, pair_i=i_loc, pair_j=j_loc,
         rij=rij.numpy(), xij=xij.numpy(),
