@@ -107,7 +107,9 @@ def _adaptive_fac(Pnew, P, Pold):
     d_old = jnp.diagonal(Pold, axis1=-2, axis2=-1)
     num = jnp.sum((d_new - d_cur) ** 2, axis=-1)
     den = jnp.sum((d_new - 2.0 * d_cur + d_old) ** 2, axis=-1)
-    return jnp.sqrt(num / jnp.where(den > 0.0, den, 1.0))
+    # treated as a constant when differentiating through the loop
+    # (cf. the no_grad block in scf_loop.py:199-208)
+    return jax.lax.stop_gradient(jnp.sqrt(num / jnp.where(den > 0.0, den, 1.0)))
 
 
 def _emat_init(nmol, dtype):

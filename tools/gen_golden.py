@@ -133,6 +133,47 @@ def run_method(method):
     print(method, "Hf:", Hf.detach().numpy(), "Etot:", Etot.detach().numpy())
 
 
+def run_param_grads():
+    """Gradients wrt learned parameters + coordinates through SCF backward
+    modes 1 (recursive adjoint) and 2 (backprop through the loop);
+    cf. tests/test5.py, tests/test13.py, tests/test-train.py:85."""
+    device = torch.device("cpu")
+    species = torch.as_tensor(SPECIES, dtype=torch.int64, device=device)
+    const = Constants().to(device)
+    elements = [0] + sorted(set(species.reshape(-1).tolist()))
+    out = {}
+
+    for mode, converger in ((1, [2]), (2, [1])):
+        coordinates = torch.tensor(COORDS, device=device, requires_grad=True)
+        sp = seqm_parameters("AM1", elements, converger=converger, eps=1.0e-10,
+                             scf_backward=mode, scf_backward_eps=1.0e-8)
+        ene = Energy(sp)
+        # learned per-atom parameters initialized at the table values
+        pp = Pack_Parameters(sp)
+        Z = species.reshape(-1)[species.reshape(-1) > 0]
+        learned = {}
+        for name in ["U_ss", "zeta_s"]:
+            full = Pack_Parameters(seqm_parameters("AM1", elements))
+            idx = full.required_list.index(name)
+            learned[name] = full.p[Z, idx].clone().detach().requires_grad_(True)
+        sp["learned"] = list(learned)
+        ene = Energy(sp)
+        Hf = ene(const, coordinates, species, learned_parameters=learned,
+                 all_terms=True)[0]
+        Hf.sum().backward()
+        out[f"Hf_m{mode}"] = Hf.detach().numpy()
+        out[f"gU_ss_m{mode}"] = learned["U_ss"].grad.numpy()
+        out[f"gzeta_s_m{mode}"] = learned["zeta_s"].grad.numpy()
+        out[f"gcoord_m{mode}"] = coordinates.grad.detach().numpy()
+
+    np.savez_compressed(os.path.join(OUT, "am1_param_grads.npz"),
+                        species=np.array(SPECIES),
+                        coordinates=np.array(COORDS), **out)
+    for k, v in out.items():
+        print(k, np.asarray(v).ravel()[:4])
+
+
 if __name__ == "__main__":
     for m in ["AM1", "MNDO", "PM3"]:
         run_method(m)
+    run_param_grads()
