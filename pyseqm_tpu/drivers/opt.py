@@ -1,0 +1,120 @@
+"""Geometry optimization drivers.
+
+Rebuild of Geometry_Optimization_SD(_LS) (seqm/MolecularDynamics.py:5-156)
+plus an L-BFGS path equivalent to the reference's scipy-driven production
+workflow (examples/opt.py:63-79) built on optax, fully batched.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..constants import Constants
+from ..models.energy import SEQMConfig, energy, force
+
+
+def _force_fn(const, tables, cfg, species, learned):
+    def f(coords, P0):
+        frc, out = force(const, tables, cfg, species, coords, learned=learned,
+                         P0=P0)
+        return frc, out.P, out.Hf
+    return jax.jit(f)
+
+
+def geometry_optimize_sd(
+    const: Constants, tables, cfg: SEQMConfig, species, coordinates,
+    alpha: float = 0.01, force_tol: float = 1.0e-4, max_evl: int = 1000,
+    learned=None, log: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Fixed-step steepest descent; returns (coords, max|F|, dE)."""
+    from ..scf import init_density
+    from ..system import make_system
+
+    f = _force_fn(const, tables, cfg, species, learned)
+    P = init_density(const, make_system(const, species, coordinates))
+    Lold = None
+    for i in range(max_evl):
+        frc, P, L = f(coordinates, P)
+        coordinates = coordinates + alpha * frc
+        ferr = float(jnp.max(jnp.abs(frc)))
+        eerr = float(jnp.sum(L - Lold) / L.shape[0]) if Lold is not None else float("inf")
+        if log:
+            print(f"{i + 1} {ferr:e} {eerr:e}")
+        if ferr <= force_tol:
+            break
+        Lold = L
+    return coordinates, jnp.asarray(ferr), jnp.asarray(eerr)
+
+
+def geometry_optimize_sd_ls(
+    const: Constants, tables, cfg: SEQMConfig, species, coordinates,
+    alpha: float = 0.01, force_tol: float = 1.0e-4, max_evl: int = 1000,
+    learned=None, log: bool = False,
+):
+    """Steepest descent with a 5-candidate per-molecule line search
+    (cf. Geometry_Optimization_SD_LS.onestep, MolecularDynamics.py:28-41)."""
+    from ..scf import init_density
+    from ..system import make_system
+
+    f = _force_fn(const, tables, cfg, species, learned)
+    candidates = jnp.asarray([0.5, 0.75, 1.0, 1.25, 1.5])
+
+    @jax.jit
+    def ls_energies(coords, frc, trial, P0):
+        def one(a_col):  # (nmol,) step sizes for one candidate
+            out = energy(const, tables, cfg, species,
+                         coords + frc * a_col[:, None, None], P0=P0)
+            return out.Etot
+        return jax.vmap(one, in_axes=1)(trial)  # (5, nmol)
+
+    P = init_density(const, make_system(const, species, coordinates))
+    alphas = jnp.full((species.shape[0],), alpha, dtype=coordinates.dtype)
+    for i in range(max_evl):
+        frc, P, L = f(coordinates, P)
+        trial = alphas[:, None] * candidates[None, :]        # (nmol, 5)
+        eng = ls_energies(coordinates, frc, trial, P)        # (5, nmol)
+        best = jnp.argmin(eng, axis=0)
+        alphas = jnp.maximum(trial[jnp.arange(trial.shape[0]), best], 1.0e-3)
+        coordinates = coordinates + alphas[:, None, None] * frc
+        ferr = float(jnp.max(jnp.abs(frc)))
+        if log:
+            print(f"{i + 1} {ferr:e}")
+        if ferr <= force_tol:
+            break
+    return coordinates, jnp.asarray(ferr)
+
+
+def geometry_optimize_lbfgs(
+    const: Constants, tables, cfg: SEQMConfig, species, coordinates,
+    force_tol: float = 1.0e-4, max_evl: int = 300, learned=None,
+    log: bool = False,
+):
+    """Batched L-BFGS via optax (the production path; the reference drives
+    scipy L-BFGS-B with its energy+grad predictor, examples/opt.py:63-79)."""
+    import optax
+
+    amask = (species > 0)[..., None]
+
+    @jax.jit
+    def val_grad(coords):
+        out = energy(const, tables, cfg, species, coords, learned=learned)
+        return jnp.sum(out.Hf)
+
+    vg = jax.jit(jax.value_and_grad(val_grad))
+    opt = optax.lbfgs()
+    state = opt.init(coordinates)
+    for i in range(max_evl):
+        value, grads = vg(coordinates)
+        grads = jnp.where(amask, grads, 0.0)
+        ferr = float(jnp.max(jnp.abs(grads)))
+        if log:
+            print(f"{i + 1} {ferr:e} {float(value):e}")
+        if ferr <= force_tol:
+            break
+        updates, state = opt.update(
+            grads, state, coordinates, value=value, grad=grads,
+            value_fn=val_grad)
+        coordinates = optax.apply_updates(coordinates, updates)
+    return coordinates, jnp.asarray(ferr)

@@ -1,0 +1,114 @@
+"""Extended-Lagrangian BOMD integrator (Niklasson dissipative propagation).
+
+Rebuild of XL_BOMD (seqm/XLBOMD.py:224-368).  The electronic degrees of
+freedom propagate without any SCF: the dynamic density field P follows the
+dissipative integrator
+
+  P(n+1) = cc*kappa*D(n) + sum_k c'_k P(n-k)
+
+with the k=3..9 coefficient tables of Niklasson et al., JCP 130, 214109
+(2009), folded (as in the reference, XLBOMD.py:252-262) so the history
+update is a single weighted sum over a circular buffer Pt.  Bootstrapped by
+one full SCF.  The per-step work is one Hcore + one Fock + one SP2/eigh —
+pure batched matmuls, the TPU scaling path.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..constants import Constants
+from ..models.energy import SEQMConfig, energy
+from ..models.xlbomd import force_xl
+from .md import (ACC_SCALE, MDConfig, MDState, MolecularDynamics,
+                 Observables, atom_masses, atomic_charges, dipole,
+                 kinetic_energy)
+
+# kappa, alpha, c0..ck per history order k (Niklasson JCP 130, 214109)
+XL_COEFFS = {
+    3: (1.69, 150e-3, (-2.0, 3.0, 0.0, -1.0)),
+    4: (1.75, 57e-3, (-3.0, 6.0, -2.0, -2.0, 1.0)),
+    5: (1.82, 18e-3, (-6.0, 14.0, -8.0, -3.0, 4.0, -1.0)),
+    6: (1.84, 5.5e-3, (-14.0, 36.0, -27.0, -2.0, 12.0, -6.0, 1.0)),
+    7: (1.86, 1.6e-3, (-36.0, 99.0, -88.0, 11.0, 32.0, -25.0, 8.0, -1.0)),
+    8: (1.88, 0.44e-3, (-99.0, 286.0, -286.0, 78.0, 78.0, -90.0, 42.0,
+                        -10.0, 1.0)),
+    9: (1.89, 0.12e-3, (-286.0, 858.0, -936.0, 364.0, 168.0, -300.0, 184.0,
+                        -63.0, 12.0, -1.0)),
+}
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class XLBOMDState:
+    """MD state + electronic history: (P, Pt ring buffer, D) — serializing
+    this pytree gives exact-restart checkpoints (cf. XL_BOMD.run returning
+    (coords, vel, acc, P, Pt), XLBOMD.py:368)."""
+    coordinates: jnp.ndarray
+    velocities: jnp.ndarray
+    acc: jnp.ndarray
+    D: jnp.ndarray           # purified density from the last Fock
+    P: jnp.ndarray           # dynamic density field
+    Pt: jnp.ndarray          # (m, nmol, 4A, 4A) history ring buffer
+    E0: jnp.ndarray
+    key: jnp.ndarray
+    step: jnp.ndarray
+
+
+class XLBOMD(MolecularDynamics):
+    """XL-BOMD driver; k = history order (3..9)."""
+
+    def __init__(self, const: Constants, tables, seqm_cfg: SEQMConfig,
+                 md_cfg: MDConfig = MDConfig(), k: int = 5, cc: float = 1.0,
+                 learned=None):
+        super().__init__(const, tables, seqm_cfg, md_cfg, learned)
+        kappa, alpha, cs = XL_COEFFS[k]
+        self.k = k
+        self.m = k + 1
+        # fold the (2 - cc*kappa) P(n) and -P(n-1) Verlet terms into the
+        # dissipation coefficients: one weighted history sum per step
+        coeff = [c * alpha for c in cs]
+        coeff[0] += 2.0 - cc * kappa
+        coeff[1] -= 1.0
+        self.coeff_D = cc * kappa
+        self.coeff = jnp.asarray(coeff * 2)  # doubled for circular slicing
+
+    def initialize(self, species, coordinates, velocities=None, key=None,
+                   Temp=300.0) -> XLBOMDState:
+        st = super().initialize(species, coordinates, velocities, key, Temp)
+        D = st.P
+        Pt = jnp.broadcast_to(D[None], (self.m,) + D.shape)
+        return XLBOMDState(
+            coordinates=st.coordinates, velocities=st.velocities, acc=st.acc,
+            D=D, P=D, Pt=Pt, E0=st.E0, key=st.key, step=jnp.asarray(0))
+
+    def step(self, species, state: XLBOMDState):
+        dt = self.md_cfg.timestep
+        mass = atom_masses(self.const, species)
+
+        v = state.velocities + 0.5 * state.acc * dt
+        x = state.coordinates + v * dt
+
+        # electronic propagation: P <- cc*kappa*D + sum coeff[cindx:cindx+m]*Pt
+        cindx = state.step % self.m
+        cs = jax.lax.dynamic_slice_in_dim(self.coeff, cindx, self.m)
+        P = self.coeff_D * state.D + jnp.einsum('k,knij->nij', cs, state.Pt)
+        Pt = jax.lax.dynamic_update_index_in_dim(
+            state.Pt, P, self.m - 1 - cindx, axis=0)
+
+        force, Epot, D = force_xl(self.const, self.tables, self.seqm_cfg,
+                                  species, x, P, self.learned)
+        acc = force / mass * ACC_SCALE
+        v = v + 0.5 * acc * dt
+        state = dataclasses.replace(
+            state, coordinates=x, velocities=v, acc=acc, D=D, P=P, Pt=Pt,
+            step=state.step + 1)
+        state = self._thermostat(species, state, Epot)
+
+        Ek, T = kinetic_energy(self.const, species, state.velocities)
+        q = atomic_charges(self.const, species, state.P)
+        obs = Observables(Ek, T, Epot, dipole(q, state.coordinates), q)
+        return state, obs

@@ -1,0 +1,91 @@
+"""Extended-Lagrangian BOMD energy/force model (no SCF during dynamics).
+
+Rebuild of EnergyXL / ForceXL (seqm/XLBOMD.py:54-220): a single Hcore
+build + a single Fock build from the dynamic density field P, one density
+purification D (SP2 or eigh, held constant under differentiation), and the
+XL functional E(D, P) = Tr(D F) - 1/2 Tr((F - Hcore) P).
+"""
+from __future__ import annotations
+
+from typing import Mapping, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..constants import Constants
+from ..ops.density import sp2, sym_eig
+from ..ops.energy import (elec_energy_isolated_atom, elec_energy_xl,
+                          heat_formation, pair_nuclear_energy, total_energy)
+from ..ops.fock import fock
+from ..ops.hcore import hcore
+from ..ops.matrix import grid_to_mat
+from ..system import make_system
+from .energy import LearnedParams, SEQMConfig, _atom_parameters
+
+
+class XLEnergyOutput(NamedTuple):
+    Hf: jnp.ndarray
+    Etot: jnp.ndarray
+    Eelec: jnp.ndarray
+    Enuc: jnp.ndarray
+    Eiso_sum: jnp.ndarray
+    EnucAB: jnp.ndarray
+    D: jnp.ndarray
+
+
+def energy_xl(
+    const: Constants,
+    tables: Mapping[str, jnp.ndarray],
+    cfg: SEQMConfig,
+    species: jnp.ndarray,
+    coordinates: jnp.ndarray,
+    P: jnp.ndarray,
+    learned: Optional[LearnedParams] = None,
+    charges: Optional[jnp.ndarray] = None,
+) -> XLEnergyOutput:
+    """XL-BOMD energy terms given the dynamic density field P."""
+    sys = make_system(const, species, coordinates, charges,
+                      cfg.pair_outer_cutoff)
+    p = _atom_parameters(tables, cfg.method, sys, learned, coordinates)
+    Kbeta = p.pop("Kbeta", None)
+    p.pop("g_ss_nuc", None)
+
+    M, w = hcore(const, sys, p, Kbeta)
+    H = grid_to_mat(M)
+    F = fock(sys, P, M, w, p)
+
+    # D is built once from F and treated as a constant (no_grad block,
+    # XLBOMD.py:124-128)
+    if cfg.scf.use_sp2:
+        D = sp2(sys, jax.lax.stop_gradient(F), cfg.scf.sp2_eps)
+    else:
+        D = sym_eig(sys, jax.lax.stop_gradient(F))[1]
+    D = jax.lax.stop_gradient(D)
+
+    EnucAB = pair_nuclear_energy(const, sys, w[..., 0, 0, 0, 0], cfg.method, p)
+    Eelec = elec_energy_xl(D, P, F, H)
+    Etot, Enuc = total_energy(EnucAB, Eelec)
+    Eiso = elec_energy_isolated_atom(const, sys.species, p)
+    Hf, Eiso_sum = heat_formation(const, sys, Etot, Eiso, cfg.hf_flag)
+    return XLEnergyOutput(Hf, Etot, Eelec, Enuc, Eiso_sum, EnucAB, D)
+
+
+def force_xl(
+    const: Constants,
+    tables: Mapping[str, jnp.ndarray],
+    cfg: SEQMConfig,
+    species: jnp.ndarray,
+    coordinates: jnp.ndarray,
+    P: jnp.ndarray,
+    learned: Optional[LearnedParams] = None,
+    charges: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """(force, Hf, D): -dHf/dR through the single Fock build
+    (cf. ForceXL, XLBOMD.py:189-220)."""
+
+    def loss(coords):
+        out = energy_xl(const, tables, cfg, species, coords, P, learned, charges)
+        return jnp.sum(out.Hf), (out.Hf, out.D)
+
+    grad, (Hf, D) = jax.grad(loss, has_aux=True)(coordinates)
+    return -grad, Hf, D

@@ -1,0 +1,110 @@
+"""Molecular dynamics drivers: deterministic trajectory parity vs the
+reference (zero initial velocities), conservation behavior, thermostats,
+and geometry optimization."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import pyseqm_tpu as pq
+from pyseqm_tpu.drivers.md import (LangevinDynamics, MDConfig,
+                                   MolecularDynamics, kinetic_energy,
+                                   zero_com, initialize_velocity)
+from pyseqm_tpu.drivers.xlbomd import XLBOMD
+from pyseqm_tpu.scf import SCFConfig
+
+
+def _setup(golden):
+    g = golden("am1_md")
+    const = pq.make_constants(dtype=jnp.float64)
+    tables = pq.load_element_tables("AM1", dtype=jnp.float64)
+    species = jnp.asarray(g["species"], dtype=jnp.int32)
+    coords = jnp.asarray(g["coordinates"], dtype=jnp.float64) * 1.03
+    cfg = pq.SEQMConfig(method="AM1", scf=SCFConfig(eps=1.0e-10, converger=(2,)))
+    return g, const, tables, cfg, species, coords
+
+
+def test_nve_trajectory_parity(golden):
+    g, const, tables, cfg, species, coords = _setup(golden)
+    md = MolecularDynamics(const, tables, cfg, MDConfig(timestep=1.0))
+    state = md.initialize(species, coords,
+                          velocities=jnp.zeros_like(coords))
+    state = md.run(species, state, steps=5, thermo=5, log=False)
+    np.testing.assert_allclose(np.asarray(state.coordinates),
+                               g["nve_coords"], atol=1e-7)
+    np.testing.assert_allclose(np.asarray(state.velocities),
+                               g["nve_vel"], atol=1e-7)
+
+
+def test_xlbomd_trajectory_parity(golden):
+    g, const, tables, cfg, species, coords = _setup(golden)
+    md = XLBOMD(const, tables, cfg, MDConfig(timestep=1.0), k=5)
+    state = md.initialize(species, coords,
+                          velocities=jnp.zeros_like(coords))
+    state = md.run(species, state, steps=5, thermo=5, log=False)
+    np.testing.assert_allclose(np.asarray(state.coordinates),
+                               g["xl_coords"], atol=1e-7)
+    np.testing.assert_allclose(np.asarray(state.velocities),
+                               g["xl_vel"], atol=1e-7)
+
+
+def test_nve_energy_conservation(golden):
+    g, const, tables, cfg, species, coords = _setup(golden)
+    md = MolecularDynamics(const, tables, cfg, MDConfig(timestep=0.2))
+    key = jax.random.PRNGKey(42)
+    state = md.initialize(species, coords, key=key, Temp=300.0)
+    Ek0, _ = kinetic_energy(const, species, state.velocities)
+    e0 = np.asarray(state.E0)
+    chunk = md._build_chunk(species, 20)
+    state, obs = chunk(state)
+    etot = np.asarray(obs.Ek + obs.Epot)
+    assert np.isfinite(etot).all()
+    drift = np.abs(etot - e0[None, :]).max()
+    assert drift < 5e-3, f"energy drift {drift}"
+
+
+def test_langevin_and_thermostats(golden):
+    g, const, tables, cfg, species, coords = _setup(golden)
+    md = LangevinDynamics(const, tables, cfg,
+                          MDConfig(timestep=0.5, damp=20.0, temperature=300.0))
+    state = md.initialize(species, coords, key=jax.random.PRNGKey(1), Temp=300.0)
+    chunk = md._build_chunk(species, 10)
+    state, obs = chunk(state)
+    assert np.isfinite(np.asarray(obs.T)).all()
+    assert np.isfinite(np.asarray(state.coordinates)).all()
+
+    # velocity-rescale thermostat drives T toward the target
+    md2 = MolecularDynamics(const, tables, cfg,
+                            MDConfig(timestep=0.5, scale_vel=(1, 200.0)))
+    st2 = md2.initialize(species, coords, key=jax.random.PRNGKey(2), Temp=500.0)
+    chunk2 = md2._build_chunk(species, 5)
+    st2, obs2 = chunk2(st2)
+    np.testing.assert_allclose(np.asarray(obs2.T[-1]), 200.0, rtol=1e-6)
+
+
+def test_zero_com(golden):
+    g, const, tables, cfg, species, coords = _setup(golden)
+    v = initialize_velocity(const, species, coords, jax.random.PRNGKey(3),
+                            Temp=300.0, vel_com=False)
+    x2, v2 = zero_com(const, species, coords, v)
+    mass = np.asarray(const.mass)[np.asarray(species)]
+    mass[np.asarray(species) == 0] = 0.0
+    mom = (mass[..., None] * np.asarray(v2)).sum(axis=1)
+    np.testing.assert_allclose(mom, 0.0, atol=1e-12)
+    L = (mass[..., None] * np.cross(np.asarray(x2), np.asarray(v2))).sum(axis=1)
+    np.testing.assert_allclose(L, 0.0, atol=1e-12)
+    # temperature preserved
+    _, T0 = kinetic_energy(const, species, v)
+    _, T1 = kinetic_energy(const, species, v2)
+    np.testing.assert_allclose(np.asarray(T1), np.asarray(T0), rtol=1e-10)
+
+
+def test_geometry_optimization(golden):
+    from pyseqm_tpu.drivers.opt import geometry_optimize_sd
+    g, const, tables, cfg, species, coords = _setup(golden)
+    x, ferr, eerr = geometry_optimize_sd(
+        const, tables, cfg, species, coords, alpha=0.003, force_tol=1e-2,
+        max_evl=300)
+    assert float(ferr) <= 1e-2

@@ -173,7 +173,47 @@ def run_param_grads():
         print(k, np.asarray(v).ravel()[:4])
 
 
+def run_md_golden():
+    """Deterministic (zero initial velocity) 5-step NVE + XL-BOMD
+    trajectories for the CH2O/H2O batch."""
+    from seqm.MolecularDynamics import Molecular_Dynamics_Basic
+    from seqm.XLBOMD import XL_BOMD
+
+    device = torch.device("cpu")
+    species = torch.as_tensor(SPECIES, dtype=torch.int64, device=device)
+    const = Constants().to(device)
+    elements = [0] + sorted(set(species.reshape(-1).tolist()))
+    out = {}
+
+    sp = seqm_parameters("AM1", elements, eps=1.0e-10)
+    md = Molecular_Dynamics_Basic(sp, timestep=1.0,
+                                  output={"molid": [0], "thermo": 1,
+                                          "dump": 10 ** 9, "prefix": "/tmp/md"})
+    # stretch the geometry 3% off equilibrium so the trajectory is nontrivial
+    coords = torch.tensor(COORDS, device=device) * 1.03
+    vel = torch.zeros_like(coords)
+    x, v, a = md.run(const, 5, coords, vel, species)
+    out["nve_coords"] = x.detach().numpy()
+    out["nve_vel"] = v.detach().numpy()
+
+    sp2cfg = seqm_parameters("AM1", elements, sp2=[False], eps=1.0e-10)
+    xl = XL_BOMD(sp2cfg, timestep=1.0, k=5,
+                 output={"molid": [0], "thermo": 1, "dump": 10 ** 9,
+                         "prefix": "/tmp/xlmd"})
+    coords = torch.tensor(COORDS, device=device) * 1.03
+    vel = torch.zeros_like(coords)
+    x, v, a, P, Pt = xl.run(const, 5, coords, vel, species)
+    out["xl_coords"] = x.detach().numpy()
+    out["xl_vel"] = v.detach().numpy()
+
+    np.savez_compressed(os.path.join(OUT, "am1_md.npz"),
+                        species=np.array(SPECIES),
+                        coordinates=np.array(COORDS), **out)
+    print("md golden done")
+
+
 if __name__ == "__main__":
     for m in ["AM1", "MNDO", "PM3"]:
         run_method(m)
     run_param_grads()
+    run_md_golden()
