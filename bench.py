@@ -1,0 +1,129 @@
+"""Headline benchmark: batched AM1 XL-BOMD step throughput.
+
+Runs the BASELINE.json config-5 workload — XL-BOMD + SP2 at a
+10k-molecule batch of small organics — on the default JAX backend (the
+real TPU chip under the driver) and prints ONE JSON line:
+
+    {"metric": ..., "value": N, "unit": "steps/sec", "vs_baseline": N}
+
+vs_baseline compares against the PyTorch reference running the same
+workload on this host's CPU (measured once and cached in
+benchmarks/ref_cpu_baseline.json; regenerate with --measure-ref).  The
+reference publishes no numbers of its own (BASELINE.md).
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+NMOL = 10240
+MOLSIZE = 8
+CHUNK = 10
+K_XL = 5
+BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "benchmarks", "ref_cpu_baseline.json")
+
+
+def bench_tpu(nmol=NMOL, chunk=CHUNK, repeats=3):
+    import jax
+    # persistent compile cache: the big DIIS/while_loop programs compile
+    # once per machine instead of once per process
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+    import pyseqm_tpu as pq
+    from pyseqm_tpu.drivers.md import MDConfig
+    from pyseqm_tpu.drivers.xlbomd import XLBOMD
+    from pyseqm_tpu.scf import SCFConfig
+    from pyseqm_tpu.utils.molecules import make_batch
+
+    const, tables, cfg = pq.build(
+        "AM1", dtype=jnp.float32,
+        scf=SCFConfig(eps=1.0e-5, converger=(2,), use_sp2=True,
+                      sp2_eps=1.0e-2, max_iter=200))
+    sp, co = make_batch(nmol, MOLSIZE, jitter=0.02)
+    species = jnp.asarray(sp)
+    coords = jnp.asarray(co, dtype=jnp.float32)
+
+    md = XLBOMD(const, tables, cfg, MDConfig(timestep=0.4), k=K_XL)
+    init = jax.jit(lambda c: md.initialize(
+        species, c, velocities=jnp.zeros_like(c)))
+    state = jax.block_until_ready(init(coords))
+
+    step_chunk = md._build_chunk(species, chunk)
+    state, obs = jax.block_until_ready(step_chunk(state))  # warmup/compile
+
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        state, obs = jax.block_until_ready(step_chunk(state))
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    return chunk / dt, float(jax.numpy.mean(obs.Epot[-1]))
+
+
+def measure_reference_cpu(nmol=NMOL, steps=3):
+    """Run the upstream PyTorch XL-BOMD on CPU for the same workload."""
+    import torch
+    sys.path.insert(0, "/root/reference")
+    from seqm.seqm_functions.constants import Constants
+    from seqm.XLBOMD import XL_BOMD
+    from pyseqm_tpu.utils.molecules import make_batch
+
+    torch.set_default_dtype(torch.float32)
+    sp, co = make_batch(nmol, MOLSIZE, jitter=0.02)
+    species = torch.as_tensor(sp, dtype=torch.int64)
+    coords = torch.tensor(co, dtype=torch.float32)
+    const = Constants()
+    elements = [0] + sorted(set(sp.reshape(-1).tolist()))
+    seqm_par = {
+        "method": "AM1", "scf_eps": 1.0e-5, "scf_converger": [2],
+        "sp2": [True, 1.0e-2], "elements": elements, "learned": [],
+        "pair_outer_cutoff": 1.0e10,
+    }
+    md = XL_BOMD(seqm_par, timestep=0.4, k=K_XL,
+                 output={"molid": [0], "thermo": 10 ** 9,
+                         "dump": 10 ** 9, "prefix": "/tmp/bench_ref"})
+    vel = torch.zeros_like(coords)
+    t0 = time.perf_counter()
+    md.run(const, steps, coords, vel, species)
+    dt = time.perf_counter() - t0
+    # includes the SCF bootstrap; amortize over steps anyway (pessimistic
+    # for the reference by ~1 SCF; noted in benchmarks/README)
+    return steps / dt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--measure-ref", action="store_true")
+    ap.add_argument("--nmol", type=int, default=NMOL)
+    args = ap.parse_args()
+
+    if args.measure_ref:
+        ref = measure_reference_cpu(args.nmol)
+        os.makedirs(os.path.dirname(BASELINE_FILE), exist_ok=True)
+        with open(BASELINE_FILE, "w") as f:
+            json.dump({"metric": "xlbomd_steps_per_sec",
+                       "nmol": args.nmol, "molsize": MOLSIZE,
+                       "value": ref,
+                       "hardware": "host CPU, PyTorch reference"}, f)
+        print(json.dumps({"reference_steps_per_sec": ref}))
+        return
+
+    value, epot = bench_tpu(args.nmol)
+    ref = None
+    if os.path.exists(BASELINE_FILE):
+        with open(BASELINE_FILE) as f:
+            ref = json.load(f).get("value")
+    vs = value / ref if ref else None
+    print(json.dumps({
+        "metric": f"xlbomd_am1_sp2_steps_per_sec@{args.nmol}mol",
+        "value": round(value, 3),
+        "unit": "steps/sec",
+        "vs_baseline": round(vs, 2) if vs else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

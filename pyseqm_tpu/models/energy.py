@@ -40,6 +40,10 @@ class SEQMConfig:
     pair_outer_cutoff: float = 1.0e10
     eig: bool = False               # return orbital energies / charges
     check_degeneracy: bool = False
+    # TPU MXU precision for f32 inputs.  The default bf16 matmuls destroy
+    # SCF convergence (NaNs / 0.5 eV errors); "highest" runs full-f32
+    # passes on the MXU and restores CPU-f32-level accuracy.
+    matmul_precision: str = "highest"
 
 
 class EnergyOutput(NamedTuple):
@@ -100,13 +104,23 @@ def energy(
 
     Mirrors Energy.forward (basics.py:271-346) with all_terms=True.
     """
+    with jax.default_matmul_precision(cfg.matmul_precision):
+        return _energy_impl(const, tables, cfg, species, coordinates,
+                            learned, P0, charges)
+
+
+def _energy_impl(const, tables, cfg, species, coordinates, learned, P0,
+                 charges):
     sys = make_system(const, species, coordinates, charges,
                       cfg.pair_outer_cutoff)
     p = _atom_parameters(tables, cfg.method, sys, learned, coordinates)
     Kbeta = p.pop("Kbeta", None)
     g_ss_nuc = p.pop("g_ss_nuc", None)
 
-    M, w = hcore(const, sys, p, Kbeta)
+    # remat the integral stack: its backward pass recomputes the (cheap,
+    # elementwise-heavy) integrals instead of storing every intermediate —
+    # cuts peak HBM by an order of magnitude on large batches
+    M, w = jax.checkpoint(hcore, static_argnums=())(const, sys, p, Kbeta)
     P, notconverged = scf_solve(const, sys, M, w, p, cfg.scf, P0)
     F = fock(sys, P, M, w, p)
     H = grid_to_mat(M)
@@ -117,7 +131,7 @@ def energy(
         r0b = 0.5 * EV / g_ss_nuc[:, sys.pair_j]
         gam = EV / jnp.sqrt(sys.rij ** 2 + (r0a + r0b) ** 2)
     else:
-        gam = w[..., 0, 0, 0, 0]
+        gam = w.ri[..., 0]  # (s_i s_i | s_j s_j)
     EnucAB = pair_nuclear_energy(const, sys, gam, cfg.method, p)
     Eel = elec_energy(P, F, H)
     Etot, Enuc = total_energy(EnucAB, Eel)

@@ -44,13 +44,22 @@ def energy_xl(
     charges: Optional[jnp.ndarray] = None,
 ) -> XLEnergyOutput:
     """XL-BOMD energy terms given the dynamic density field P."""
+    with jax.default_matmul_precision(cfg.matmul_precision):
+        return _energy_xl_impl(const, tables, cfg, species, coordinates, P,
+                               learned, charges)
+
+
+def _energy_xl_impl(const, tables, cfg, species, coordinates, P, learned,
+                    charges):
     sys = make_system(const, species, coordinates, charges,
                       cfg.pair_outer_cutoff)
     p = _atom_parameters(tables, cfg.method, sys, learned, coordinates)
     Kbeta = p.pop("Kbeta", None)
     p.pop("g_ss_nuc", None)
 
-    M, w = hcore(const, sys, p, Kbeta)
+    # remat: recompute integrals in the force backward pass instead of
+    # storing intermediates (peak-HBM reduction on large batches)
+    M, w = jax.checkpoint(hcore, static_argnums=())(const, sys, p, Kbeta)
     H = grid_to_mat(M)
     F = fock(sys, P, M, w, p)
 
@@ -62,7 +71,7 @@ def energy_xl(
         D = sym_eig(sys, jax.lax.stop_gradient(F))[1]
     D = jax.lax.stop_gradient(D)
 
-    EnucAB = pair_nuclear_energy(const, sys, w[..., 0, 0, 0, 0], cfg.method, p)
+    EnucAB = pair_nuclear_energy(const, sys, w.ri[..., 0], cfg.method, p)
     Eelec = elec_energy_xl(D, P, F, H)
     Etot, Enuc = total_energy(EnucAB, Eelec)
     Eiso = elec_energy_isolated_atom(const, sys.species, p)

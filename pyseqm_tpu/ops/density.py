@@ -133,8 +133,8 @@ def sp2(sys: System, F: jnp.ndarray, eps: float = 1.0e-4) -> jnp.ndarray:
 
     tr = lambda x: jnp.trace(x, axis1=-2, axis2=-1)
     err0 = jnp.abs(tr(a0) - noccd)
-    st = _SP2State(a0, err0, err0, err0,
-                   jnp.ones(F.shape[0], dtype=bool), jnp.asarray(0))
+    # err0-derived init keeps the carry 'varying' under shard_map
+    st = _SP2State(a0, err0, err0, err0, err0 >= 0.0, jnp.asarray(0))
 
     def cond(st):
         return jnp.any(st.notconverged) & (st.k < SP2_MAX_ITER)

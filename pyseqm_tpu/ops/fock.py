@@ -14,16 +14,18 @@ import jax.numpy as jnp
 
 from ..system import System
 from .matrix import grid_to_mat, mat_to_grid
+from .tetci import WPack, w_coulomb_i, w_coulomb_j, w_exchange
 
 
-def fock(sys: System, P: jnp.ndarray, M: jnp.ndarray, w: jnp.ndarray,
+def fock(sys: System, P: jnp.ndarray, M: jnp.ndarray, w: WPack,
          p: Dict[str, jnp.ndarray]) -> jnp.ndarray:
     """Build the Fock matrix.
 
     Args:
       P: (nmol, 4A, 4A) total density matrix (closed shell: P = 2 P_alpha).
       M: (nmol, A, A, 4, 4) core Hamiltonian block grid.
-      w: (nmol, NP, 4, 4, 4, 4) two-electron integrals.
+      w: WPack compact two-electron integrals; the frame rotation is fused
+         into each contraction (no (4,4,4,4) tensor is ever materialized).
       p: per-atom parameters (g_ss, g_sp, g_pp, g_p2, h_sp), each (nmol, A).
 
     Returns: (nmol, 4A, 4A) symmetric Fock matrix.
@@ -60,8 +62,8 @@ def fock(sys: System, P: jnp.ndarray, M: jnp.ndarray, w: jnp.ndarray,
     # ---- two-center Coulomb: diagonal-block contributions ----
     # diag(i) += sum_j w_(ij)[ab,cd] P_diag(j)[cd]  (and the mirror);
     # cf. the weighted PA/PB contraction in fock.py:80-110.
-    sum_to_i = jnp.einsum('npabcd,npcd->npab', w, Pd[:, ju])
-    sum_to_j = jnp.einsum('npabcd,npab->npcd', w, Pd[:, iu])
+    sum_to_i = w_coulomb_i(w, Pd[:, ju])
+    sum_to_j = w_coulomb_j(w, Pd[:, iu])
     dsum = jnp.zeros_like(Pd)
     dsum = dsum.at[:, iu].add(sum_to_i)
     dsum = dsum.at[:, ju].add(sum_to_j)
@@ -69,7 +71,7 @@ def fock(sys: System, P: jnp.ndarray, M: jnp.ndarray, w: jnp.ndarray,
     # ---- two-center exchange on the off-diagonal blocks ----
     # F_(ij)[a,c] = -0.5 sum_{b,d} P_(ij)[b,d] w_(ij)[ab,cd]; cf. fock.py:117-131
     Pp = Pg[:, iu, ju]
-    x = -0.5 * jnp.einsum('npabcd,npbd->npac', w, Pp)
+    x = -0.5 * w_exchange(w, Pp)
 
     F = M + 0.0
     F = F.at[:, idx, idx].add(tmp + dsum)

@@ -15,7 +15,7 @@ from ..constants import Constants, OVERLAP_CUTOFF
 from ..system import System
 from .multipole import dd_qq, rho1_additive, rho2_additive
 from .overlap import diatom_overlap
-from .tetci import two_center_integrals
+from .tetci import WPack, pair_w_pack
 
 
 def atom_multipoles(const: Constants, species, p: Dict[str, jnp.ndarray]):
@@ -62,7 +62,8 @@ def hcore(
 
     Returns:
       M: (nmol, A, A, 4, 4) symmetric core-Hamiltonian block grid (eV)
-      w: (nmol, NP, 4, 4, 4, 4) two-electron two-center integrals (eV)
+      w: WPack — compact two-electron integrals (ri (nmol, NP, 22),
+         U (nmol, NP, 4, 4)); consumers rotate on the fly (see tetci.py)
     """
     nmol, A = sys.species.shape
     iu, ju = sys.pair_i, sys.pair_j
@@ -92,9 +93,9 @@ def hcore(
         scale = scale.at[..., 1:, 1:].set(Kbeta[..., 3, None, None])
         off = off * scale
 
-    # ---- two-electron two-center integrals ----
+    # ---- two-electron two-center integrals (compact representation) ----
     mp = atom_multipoles(const, sys.species, p)
-    w, e1b, e2a = two_center_integrals(
+    w, e1b, e2a = pair_w_pack(
         sys.rij, sys.xij,
         const.tore[sys.zi], const.tore[sys.zj],
         mp["dd"][:, iu], mp["dd"][:, ju],
@@ -104,7 +105,7 @@ def hcore(
         mp["rho2"][:, iu], mp["rho2"][:, ju],
     )
     pm = sys.pair_mask
-    w = jnp.where(pm[..., None, None, None, None], w, 0.0)
+    w = WPack(ri=jnp.where(pm[..., None], w.ri, 0.0), U=w.U)
     e1b = jnp.where(pm[..., None, None], e1b, 0.0)
     e2a = jnp.where(pm[..., None, None], e2a, 0.0)
 

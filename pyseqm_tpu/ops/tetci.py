@@ -25,6 +25,7 @@ Orbital order, molecular frame: (s, p_x, p_y, p_z).
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 import jax.numpy as jnp
 import numpy as np
@@ -247,11 +248,12 @@ def frame_matrix(xij):
     return U
 
 
-def rotate_w(ri, xij):
+def rotate_w(ri, xij, U=None):
     """Rotate local integrals to the molecular frame: (..., 4, 4, 4, 4)."""
     T = jnp.asarray(_ri_expansion_table(), dtype=ri.dtype)
     RI = jnp.einsum('...r,rklmn->...klmn', ri, T)
-    U = frame_matrix(xij)
+    if U is None:
+        U = frame_matrix(xij)
     # four successive small contractions; XLA fuses these well
     W = jnp.einsum('...ak,...klmn->...almn', U, RI)
     W = jnp.einsum('...bl,...almn->...abmn', U, W)
@@ -260,13 +262,9 @@ def rotate_w(ri, xij):
     return W
 
 
-def rotate_core(core, xij):
-    """Electron-core attraction block (..., 4, 4) from local columns.
-
-    core columns: (ss, s sigma, sigma sigma, pi pi).  Result is the *negated*
-    symmetric e1b/e2a block: e[a,b] = -U[a,k] U[b,l] C[k,l] with
-    C = diag-ish local matrix (C[0,1]=C[1,0]=cs sigma).
-    """
+def _core_matrix(core):
+    """Local electron-core attraction matrix from the 4 unique columns
+    (ss, s sigma, sigma sigma, pi pi)."""
     dtype = core.dtype
     C = jnp.zeros(core.shape[:-1] + (4, 4), dtype=dtype)
     C = C.at[..., 0, 0].set(core[..., 0])
@@ -275,8 +273,186 @@ def rotate_core(core, xij):
     C = C.at[..., 1, 1].set(core[..., 2])
     C = C.at[..., 2, 2].set(core[..., 3])
     C = C.at[..., 3, 3].set(core[..., 3])
+    return C
+
+
+def rotate_core(core, xij):
+    """Negated symmetric e1b/e2a block: e[a,b] = -U[a,k] U[b,l] C[k,l]."""
     U = frame_matrix(xij)
-    return -jnp.einsum('...ak,...kl,...bl->...ab', U, C, U)
+    return -jnp.einsum('...ak,...kl,...bl->...ab', U, _core_matrix(core), U)
+
+
+# ------------------------------------------------------------------
+# Fused local-frame representation (production path)
+# ------------------------------------------------------------------
+#
+# Materializing w as (..., 4, 4, 4, 4) is hostile to TPU layouts: the
+# minor dims of size 4 pad to the 128-lane tile (32x memory expansion,
+# multi-GB copies at 10k-molecule batches).  Instead we carry the compact
+# per-pair representation (ri (...,22), U (...,4,4)) and fuse the frame
+# rotation into every consumer:
+#     w = (U (x) U) . RI(ri) . (U (x) U)^T
+# so Fock contractions become: rotate 4x4 density blocks into the local
+# frame (small batched matmuls), contract against the *constant* sparsity
+# tensor T (matmuls with a (16, 352) constant), rotate back.  No 6-D
+# tensors, no padding blowup, an order of magnitude less HBM traffic.
+
+class WPack(NamedTuple):
+    """Compact two-electron integral representation: w is implicit."""
+    ri: jnp.ndarray   # (..., 22) local-frame unique integrals (eV)
+    U: jnp.ndarray    # (..., 4, 4) per-pair AO frame transform
+
+
+# The contractions below are fully unrolled into elementwise vector ops on
+# (..., ) component slices.  Batched 4x4 dot_generals are poison on TPU
+# (the size-4 contraction dims force lane-padded layouts, 32x memory and
+# abysmal MXU utilization); unrolled multiply-adds fuse into a handful of
+# VPU kernels instead.  The U sparsity (U[0,:] = e_0, U[a>0,0] = 0) and
+# the ~160 nonzeros of the sparsity tensor T keep the op count small.
+
+def _unstack(X):
+    return [[X[..., a, b] for b in range(4)] for a in range(4)]
+
+
+def _u_rows(U):
+    """U component slices; row 0 is (1,0,0,0) structurally."""
+    return [[U[..., a, k] for k in range(4)] for a in range(4)]
+
+
+def _rot_to_local(u, X):
+    """Xloc[k][l] = sum_ab U[a,k] X[a,b] U[b,l], exploiting U sparsity."""
+    # t[k][b] = sum_a U[a,k] X[a,b]
+    t = [[None] * 4 for _ in range(4)]
+    for b in range(4):
+        t[0][b] = X[0][b]
+        for k in range(1, 4):
+            t[k][b] = (u[1][k] * X[1][b] + u[2][k] * X[2][b]
+                       + u[3][k] * X[3][b])
+    y = [[None] * 4 for _ in range(4)]
+    for k in range(4):
+        y[k][0] = t[k][0]
+        for l in range(1, 4):
+            y[k][l] = (t[k][1] * u[1][l] + t[k][2] * u[2][l]
+                       + t[k][3] * u[3][l])
+    return y
+
+
+def _rot_from_local(u, y):
+    """e[a][b] = sum_kl U[a,k] y[k][l] U[b,l]."""
+    # s[a][l] = sum_k U[a,k] y[k][l]
+    s = [[None] * 4 for _ in range(4)]
+    for l in range(4):
+        s[0][l] = y[0][l]
+        for a in range(1, 4):
+            s[a][l] = (u[a][1] * y[1][l] + u[a][2] * y[2][l]
+                       + u[a][3] * y[3][l])
+    e = [[None] * 4 for _ in range(4)]
+    for a in range(4):
+        e[a][0] = s[a][0]
+        for b in range(1, 4):
+            e[a][b] = (s[a][1] * u[b][1] + s[a][2] * u[b][2]
+                       + s[a][3] * u[b][3])
+    return e
+
+
+def _stack44(e):
+    return jnp.stack([jnp.stack(row, axis=-1) for row in e], axis=-2)
+
+
+@functools.lru_cache(maxsize=None)
+def _t_nonzeros(perm):
+    """Nonzero entries of T permuted to (r, free1, free2, con1, con2):
+    dict (free1, free2) -> list of (r, con1, con2)."""
+    T = _ri_expansion_table().transpose((0,) + perm)
+    out = {}
+    for r in range(22):
+        for a in range(4):
+            for b in range(4):
+                for c in range(4):
+                    for d in range(4):
+                        if T[r, a, b, c, d] != 0.0:
+                            out.setdefault((a, b), []).append((r, c, d))
+    return out
+
+
+def _apply_T(ri_s, Xloc, perm):
+    """y[f1][f2] = sum_r ri[r] sum_(c1,c2) T_perm[r,f1,f2,c1,c2] Xloc[c1][c2]."""
+    nz = _t_nonzeros(perm)
+    y = [[None] * 4 for _ in range(4)]
+    for (a, b), terms in nz.items():
+        acc = None
+        # group by r so each ri multiplies one accumulated X-sum
+        byr = {}
+        for r, c, d in terms:
+            byr.setdefault(r, []).append((c, d))
+        for r, cds in byr.items():
+            xs = Xloc[cds[0][0]][cds[0][1]]
+            for c, d in cds[1:]:
+                xs = xs + Xloc[c][d]
+            term = ri_s[r] * xs
+            acc = term if acc is None else acc + term
+        y[a][b] = acc
+    zero = jnp.zeros_like(ri_s[0])
+    for a in range(4):
+        for b in range(4):
+            if y[a][b] is None:
+                y[a][b] = zero
+    return y
+
+
+def _w_apply(pack: WPack, X, perm):
+    u = _u_rows(pack.U)
+    ri_s = [pack.ri[..., r] for r in range(22)]
+    Xloc = _rot_to_local(u, _unstack(X))
+    y = _apply_T(ri_s, Xloc, perm)
+    return _stack44(_rot_from_local(u, y))
+
+
+def w_coulomb_i(pack: WPack, pdiag_j):
+    """sum_cd w[ab,cd] Pdiag_j[cd] -> (..., 4, 4) added to atom i's block."""
+    return _w_apply(pack, pdiag_j, (1, 2, 3, 4))
+
+
+def w_coulomb_j(pack: WPack, pdiag_i):
+    """sum_ab w[ab,cd] Pdiag_i[ab] -> (..., 4, 4) added to atom j's block."""
+    return _w_apply(pack, pdiag_i, (3, 4, 1, 2))
+
+
+def w_exchange(pack: WPack, p_pair):
+    """sum_bd w[ab,cd] P_pair[bd] -> (..., 4, 4) (a,c block)."""
+    return _w_apply(pack, p_pair, (1, 3, 2, 4))
+
+
+def assemble_w(pack: WPack) -> jnp.ndarray:
+    """Materialize the full (..., 4,4,4,4) integral tensor (tests only)."""
+    return rotate_w(pack.ri, None, U=pack.U)
+
+
+def _core_block_unrolled(u, core):
+    """e[a,b] = -sum_kl U[a,k] C[k,l] U[b,l] with the sparse local C."""
+    zero = jnp.zeros_like(core[..., 0])
+    C = [[zero] * 4 for _ in range(4)]
+    C[0][0] = core[..., 0]
+    C[0][1] = core[..., 1]
+    C[1][0] = core[..., 1]
+    C[1][1] = core[..., 2]
+    C[2][2] = core[..., 3]
+    C[3][3] = core[..., 3]
+    e = _rot_from_local(u, C)
+    return -_stack44(e)
+
+
+def pair_w_pack(rij, xij, tore_i, tore_j, da, db, qa, qb,
+                rho0a, rho0b, rho1a, rho1b, rho2a, rho2b):
+    """Compact production pipeline: (WPack, e1b, e2a)."""
+    ri, core_a, core_b = local_frame_integrals(
+        rij, tore_i, tore_j, da, db, qa, qb,
+        rho0a, rho0b, rho1a, rho1b, rho2a, rho2b)
+    U = frame_matrix(xij)
+    u = _u_rows(U)
+    e1b = _core_block_unrolled(u, core_a)
+    e2a = _core_block_unrolled(u, core_b)
+    return WPack(ri=ri, U=U), e1b, e2a
 
 
 def two_center_integrals(rij, xij, tore_i, tore_j, da, db, qa, qb,

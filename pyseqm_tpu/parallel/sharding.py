@@ -1,0 +1,109 @@
+"""Data parallelism over the molecule batch axis.
+
+The reference's only parallelism is the molecule batch dimension on one
+GPU (plus torch DataParallel in its training script, tests/test-train.py:
+314-317).  The TPU-native equivalent: a 1-D ``jax.sharding.Mesh`` over ICI
+with the batch axis sharded via ``shard_map``.  Each shard runs its own
+SCF ``while_loop`` with *local* convergence masks — molecules are
+independent, so no cross-chip sync per SCF iteration (a global
+all-converged check would serialize every iteration on a collective).
+Collectives appear only where physics requires them: batch-level loss /
+gradient reductions in the training step (``jax.lax.pmean`` over 'mol').
+
+Parameter tables and learned element offsets are replicated; molecular
+data (species, coordinates, densities, MD state) shard along axis 0.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Mapping, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..constants import Constants
+from ..models.energy import SEQMConfig, energy, force
+from ..scf import SCFConfig
+
+
+def molecule_mesh(devices=None) -> Mesh:
+    """1-D mesh over all (or the given) devices, axis name 'mol'."""
+    import numpy as np
+    devices = np.array(jax.devices() if devices is None else devices)
+    return Mesh(devices, ("mol",))
+
+
+def shard_molecules(mesh: Mesh, tree):
+    """Place batch-major arrays with the leading axis sharded over 'mol'."""
+    sh = NamedSharding(mesh, P("mol"))
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+
+
+def _shard_spec(tree):
+    return jax.tree_util.tree_map(lambda _: P("mol"), tree)
+
+
+def sharded_energy_fn(const: Constants, tables, cfg: SEQMConfig, mesh: Mesh):
+    """jit-compiled batched energy with the molecule axis sharded."""
+
+    @jax.jit
+    @functools.partial(
+        jax.shard_map, mesh=mesh, in_specs=(P("mol"), P("mol")),
+        out_specs=P("mol"))
+    def efn(species, coords):
+        out = energy(const, tables, cfg, species, coords)
+        return out.Hf
+
+    return efn
+
+
+def sharded_force_fn(const: Constants, tables, cfg: SEQMConfig, mesh: Mesh):
+    """jit-compiled batched forces with the molecule axis sharded."""
+
+    @jax.jit
+    @functools.partial(
+        jax.shard_map, mesh=mesh, in_specs=(P("mol"), P("mol")),
+        out_specs=(P("mol"), P("mol")))
+    def ffn(species, coords):
+        f, out = force(const, tables, cfg, species, coords)
+        return f, out.Hf
+
+    return ffn
+
+
+def make_train_step(const: Constants, tables, cfg: SEQMConfig, mesh: Mesh,
+                    param_names=("U_ss", "zeta_s"), lr: float = 1.0e-4):
+    """Data-parallel learned-Hamiltonian training step.
+
+    Trains per-element offset tables (the standalone analogue of the
+    HIPNN-predicted per-atom parameters, cf. tests/test-train.py):
+    replicated parameters, sharded molecule batch, gradients averaged
+    over the mesh with ``pmean``.  Molecules whose SCF failed are masked
+    out of the loss (cf. tests/test-train.py:133-147).
+
+    Returns step(deltas, species, coords, hf_target) -> (deltas, loss).
+    """
+
+    def local_loss(deltas, species, coords, hf_target):
+        learned = {n: (tables[n] + deltas[n])[species] for n in param_names}
+        out = energy(const, tables, cfg, species, coords, learned=learned)
+        ok = (~out.notconverged).astype(coords.dtype)
+        se = ok * (out.Hf - hf_target) ** 2
+        # local sums; pmean'd by the caller
+        return jnp.sum(se) / hf_target.shape[0]
+
+    @jax.jit
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(), P("mol"), P("mol"), P("mol")),
+        out_specs=(P(), P()))
+    def step(deltas, species, coords, hf_target):
+        loss, grads = jax.value_and_grad(local_loss)(
+            deltas, species, coords, hf_target)
+        loss = jax.lax.pmean(loss, "mol")
+        grads = jax.lax.pmean(grads, "mol")
+        new = {n: deltas[n] - lr * grads[n] for n in deltas}
+        return new, loss
+
+    return step

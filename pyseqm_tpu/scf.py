@@ -142,13 +142,18 @@ def scf_iterate(
     E1 = _elec_energy(P0, F1, H)
     nmol = P0.shape[0]
     dtype = P0.dtype
-    nF = jnp.zeros((nmol, _NFOCK) + P0.shape[1:], dtype=dtype)
+    # derive batch-shaped initializers from traced data (not constants) so
+    # the while_loop carry is 'varying' over any shard_map mesh axis
+    zb = E1 * 0.0
+    nF = jnp.zeros((nmol, _NFOCK) + P0.shape[1:], dtype=dtype) \
+        + zb[:, None, None, None]
     st0 = _State(
-        P=P0, Pold=jnp.zeros_like(P0), F=F1, Eelec=E1,
-        err=jnp.ones(nmol, dtype=dtype),
-        notconverged=jnp.ones(nmol, dtype=bool),
+        P=P0, Pold=P0 * 0.0, F=F1, Eelec=E1,
+        err=zb + 1.0,
+        notconverged=zb < 1.0,
         k=jnp.asarray(0), cfock=jnp.asarray(0), counter=jnp.asarray(-1),
-        FOCK=nF, FPPF=nF, EMAT=_emat_init(nmol, dtype),
+        FOCK=nF, FPPF=nF,
+        EMAT=_emat_init(nmol, dtype) + zb[:, None, None],
     )
 
     def finish(st, P, Pold, extra=None):
@@ -306,37 +311,38 @@ def make_scf_apply(cfg: SCFConfig):
         def gmax(g):
             return jnp.max(jnp.abs(g), axis=(1, 2))
 
-        acc0 = _zero_cotangent((M, w, pscf))
-        acc0 = jax.tree_util.tree_map(jnp.asarray, (M * 0.0, w * 0.0,
-                                                    {k: v * 0.0 for k, v in pscf.items()}))
+        tadd = lambda a, b: jax.tree_util.tree_map(jnp.add, a, b)
+        acc0 = jax.tree_util.tree_map(jnp.zeros_like, (M, w, pscf))
 
         def cond(carry):
             g, acc, k, prev_max, stop = carry
             return (~stop) & (k < cfg.backward_max_iter)
 
         def body(carry):
-            g, (aM, aw, ap), k, prev_max, _ = carry
+            g, acc, k, prev_max, _ = carry
             gP, gM, gw, gp = vjp(g)
-            aM = aM + gM
-            aw = aw + gw
-            ap = {n: ap[n] + gp[n] for n in ap}
+            acc = tadd(acc, (gM, gw, gp))
             cur_max = gmax(gP)
             err = jnp.max(jnp.where(converged, cur_max, 0.0))
             diverged = (cur_max > prev_max) & (cur_max >= 1.0)
             stop = (err < cfg.backward_eps) | (
                 jnp.any(diverged) & (k + 1 >= cfg.backward_diverge_min_iter))
-            return gP, (aM, aw, ap), k + 1, cur_max, stop
+            return gP, acc, k + 1, cur_max, stop
 
         gmax0 = gmax(gP0)
-        g, (aM, aw, ap), k, last_max, _ = jax.lax.while_loop(
-            cond, body, (gP0, acc0, jnp.asarray(0), gmax0, jnp.asarray(False)))
+        stop0 = jnp.max(gmax0) * 0.0 > 1.0  # varying False under shard_map
+        g, acc, k, last_max, _ = jax.lax.while_loop(
+            cond, body, (gP0, acc0, jnp.asarray(0), gmax0, stop0))
 
         # zero gradients of molecules that failed forward or backward
         bad = notconverged | (last_max > cfg.backward_eps) | ~jnp.isfinite(last_max)
-        keep = (~bad).astype(aM.dtype)
-        aM = aM * keep[:, None, None, None, None]
-        aw = aw * keep[:, None, None, None, None, None]
-        ap = {n: v * keep[:, None] for n, v in ap.items()}
+        keep = ~bad
+
+        def mask_mol(x):
+            k1 = keep.reshape((-1,) + (1,) * (x.ndim - 1)).astype(x.dtype)
+            return x * k1
+
+        aM, aw, ap = jax.tree_util.tree_map(mask_mol, acc)
         return (_zero_cotangent(sys), aM, aw, ap, jnp.zeros_like(gP0))
 
     scf_apply.defvjp(fwd, bwd)

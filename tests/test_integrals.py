@@ -69,9 +69,10 @@ def test_geometry(golden, method):
 @pytest.mark.parametrize("method", METHODS)
 def test_w_integrals(golden, method):
     g, const, tables, sys, p = setup_method_case(golden, method)
+    from pyseqm_tpu.ops.tetci import assemble_w
     M, w = hcore_jit(const, sys, p)
     mols, ks = ref_pair_map(g, sys)
-    w4 = np.asarray(w)[mols, ks]  # (npairs_ref, 4,4,4,4)
+    w4 = np.asarray(jax.jit(assemble_w)(w))[mols, ks]  # (npairs_ref, 4,4,4,4)
     w10 = w4[:, TRI_A[:, None], TRI_B[:, None], TRI_A[None, :], TRI_B[None, :]]
     wref = g["w"]
     # reference stores only column 0 for X-H pairs / element (0,0) for H-H;
