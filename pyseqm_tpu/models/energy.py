@@ -126,10 +126,14 @@ def _energy_impl(const, tables, cfg, species, coordinates, learned, P0,
     H = grid_to_mat(M)
 
     if g_ss_nuc is not None:
-        # ML override of the nuclear gamma (basics.py:321-327)
-        r0a = 0.5 * EV / g_ss_nuc[:, sys.pair_i]
-        r0b = 0.5 * EV / g_ss_nuc[:, sys.pair_j]
-        gam = EV / jnp.sqrt(sys.rij ** 2 + (r0a + r0b) ** 2)
+        # ML override of the nuclear gamma (basics.py:321-327); sanitize
+        # padding lanes (g_ss = 0 there) before dividing so grads stay finite
+        ga = g_ss_nuc[:, sys.pair_i]
+        gb = g_ss_nuc[:, sys.pair_j]
+        pm = sys.pair_mask
+        r0a = 0.5 * EV / jnp.where(pm, ga, 1.0)
+        r0b = 0.5 * EV / jnp.where(pm, gb, 1.0)
+        gam = jnp.where(pm, EV / jnp.sqrt(sys.rij ** 2 + (r0a + r0b) ** 2), 0.0)
     else:
         gam = w.ri[..., 0]  # (s_i s_i | s_j s_j)
     EnucAB = pair_nuclear_energy(const, sys, gam, cfg.method, p)
