@@ -276,6 +276,94 @@ class MolecularDynamics:
         return state
 
 
+class NoseHooverDynamics(MolecularDynamics):
+    """NVT via a Nose-Hoover chain (length 2, Martyna-Klein-Tuckerman).
+
+    The reference declares this class but leaves it a stub
+    (MolecularDynamics.py:435-436); this is a working implementation.
+    Per-molecule thermostat positions/momenta extend the MD state
+    (NHState wraps MDState).
+    """
+
+    CHAIN = 2
+
+    def __init__(self, const, tables, seqm_cfg, md_cfg=MDConfig(),
+                 tau: float = 20.0, learned=None):
+        super().__init__(const, tables, seqm_cfg, md_cfg, learned)
+        self.tau = tau  # thermostat time constant (fs)
+
+    def initialize(self, species, coordinates, velocities=None, key=None,
+                   Temp=300.0):
+        st = super().initialize(species, coordinates, velocities, key, Temp)
+        nmol = species.shape[0]
+        z = jnp.zeros((nmol, self.CHAIN), coordinates.dtype)
+        # piggyback thermostat momenta on the state via a wrapper dataclass
+        return NHState(base=st, vxi=z, xi=z)
+
+    def _nhc_half(self, species, st: "NHState", dt):
+        """Half-step Nose-Hoover chain update of the thermostat momenta and
+        velocity scale (factorized MTK scheme)."""
+        cfg = self.md_cfg
+        kT = cfg.temperature / EV_PER_KELVIN  # eV
+        ndf = 3.0 * jnp.sum(species > 0, axis=1).astype(st.base.velocities.dtype)
+        Q1 = ndf * kT * self.tau ** 2 / KE_SCALE  # (g/mol A^2) units folded
+        Q2 = kT * self.tau ** 2 / KE_SCALE
+
+        Ek, _ = kinetic_energy(self.const, species, st.base.velocities)
+        vxi, xi = st.vxi, st.xi
+        G2 = (Q1 * vxi[:, 0] ** 2 * KE_SCALE - kT) / (Q2 * KE_SCALE)
+        vxi = vxi.at[:, 1].add(0.25 * dt * G2)
+        G1 = (2.0 * Ek - ndf * kT) / (Q1 * KE_SCALE)
+        vxi = vxi.at[:, 0].set(
+            (vxi[:, 0] * jnp.exp(-0.125 * dt * vxi[:, 1])
+             + 0.25 * dt * G1) * jnp.exp(-0.125 * dt * vxi[:, 1]))
+        scale = jnp.exp(-0.5 * dt * vxi[:, 0])
+        v = st.base.velocities * scale[:, None, None]
+        xi = xi + 0.5 * dt * vxi
+        Ek2 = Ek * scale ** 2
+        G1 = (2.0 * Ek2 - ndf * kT) / (Q1 * KE_SCALE)
+        vxi = vxi.at[:, 0].set(
+            (vxi[:, 0] * jnp.exp(-0.125 * dt * vxi[:, 1])
+             + 0.25 * dt * G1) * jnp.exp(-0.125 * dt * vxi[:, 1]))
+        G2 = (Q1 * vxi[:, 0] ** 2 * KE_SCALE - kT) / (Q2 * KE_SCALE)
+        vxi = vxi.at[:, 1].add(0.25 * dt * G2)
+        base = dataclasses.replace(st.base, velocities=v)
+        return NHState(base=base, vxi=vxi, xi=xi)
+
+    def step(self, species, st: "NHState"):
+        dt = self.md_cfg.timestep
+        st = self._nhc_half(species, st, dt)
+        base, obs = super().step(species, st.base)
+        st = NHState(base=base, vxi=st.vxi, xi=st.xi)
+        st = self._nhc_half(species, st, dt)
+        return st, obs
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class NHState:
+    base: MDState
+    vxi: jnp.ndarray
+    xi: jnp.ndarray
+
+    # passthroughs so run()/dump work on the wrapped state
+    @property
+    def coordinates(self):
+        return self.base.coordinates
+
+    @property
+    def velocities(self):
+        return self.base.velocities
+
+    @property
+    def P(self):
+        return self.base.P
+
+    @property
+    def step(self):
+        return self.base.step
+
+
 class LangevinDynamics(MolecularDynamics):
     """NVT Langevin thermostat (LAMMPS formula, MolecularDynamics.py:395-432):
     F = Fc - (m/damp) v + sqrt(2 kB T m / (dt damp)) N(0,1)."""

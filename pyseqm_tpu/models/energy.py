@@ -39,7 +39,6 @@ class SEQMConfig:
     hf_flag: bool = True            # Hf vs Etot - Eiso (basics.py:265-268)
     pair_outer_cutoff: float = 1.0e10
     eig: bool = False               # return orbital energies / charges
-    check_degeneracy: bool = False
     # TPU MXU precision for f32 inputs.  The default bf16 matmuls destroy
     # SCF convergence (NaNs / 0.5 eV errors); "highest" runs full-f32
     # passes on the MXU and restores CPU-f32-level accuracy.

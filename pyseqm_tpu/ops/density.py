@@ -67,7 +67,28 @@ def _fill_padding_diag(Xp, norb, h1, hN, dx=0.005):
     return Xp.at[:, idx, idx].set(diag)
 
 
-def sym_eig(sys: System, F: jnp.ndarray, eig_only: bool = False):
+def _occupations(e, nocc, dtype, check_degeneracy):
+    """Per-orbital occupation coefficients (0/1, or fractional across a
+    degenerate Fermi level when check_degeneracy — cf. construct_P,
+    diag.py:79-98, fully batched)."""
+    n = e.shape[-1]
+    idx = jnp.arange(n)
+    if not check_degeneracy:
+        return (idx[None, :] < nocc[:, None]).astype(dtype)
+    atol = 1.0e-7 if dtype == jnp.float32 else 1.0e-14
+    e_homo = jnp.take_along_axis(e, (nocc - 1)[:, None], axis=1)
+    cond = jnp.abs(e - e_homo) <= atol
+    idx1 = jnp.argmax(cond, axis=1)                      # first degenerate
+    idx2 = n - jnp.argmax(cond[:, ::-1], axis=1)         # last + 1
+    frac = (nocc - idx1).astype(dtype) / (idx2 - idx1).astype(dtype)
+    occ = jnp.where(idx[None, :] < idx1[:, None], 1.0,
+                    jnp.where(idx[None, :] < idx2[:, None],
+                              frac[:, None], 0.0))
+    return occ.astype(dtype)
+
+
+def sym_eig(sys: System, F: jnp.ndarray, eig_only: bool = False,
+            check_degeneracy: bool = False):
     """Batched eigendecomposition of the Fock matrix.
 
     Returns (e, P, v): orbital energies (nmol, 4A) zero-padded after norb,
@@ -86,7 +107,7 @@ def sym_eig(sys: System, F: jnp.ndarray, eig_only: bool = False):
     if eig_only:
         return e, v
 
-    occ = (idx[None, :] < sys.nocc[:, None]).astype(F.dtype)
+    occ = _occupations(e0, sys.nocc, F.dtype, check_degeneracy)
     Pp = 2.0 * jnp.einsum('nik,nk,njk->nij', v, occ, v)
     P = permute_mat(Pp, inv)
     m = orbital_mask(sys).astype(F.dtype)

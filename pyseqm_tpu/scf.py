@@ -52,6 +52,9 @@ class SCFConfig:
     backward_max_iter: int = 10
     backward_diverge_min_iter: int = 5
     backward_scan_iters: int = 100      # fixed length for mode 2
+    # fractional occupations across a degenerate Fermi level
+    # (cf. diag.CHECK_DEGENERACY, diag.py:7,79-98)
+    check_degeneracy: bool = False
 
 
 def init_density(const: Constants, sys: System) -> jnp.ndarray:
@@ -75,7 +78,8 @@ def init_density(const: Constants, sys: System) -> jnp.ndarray:
 def _make_density(sys: System, cfg: SCFConfig, differentiable: bool):
     if cfg.use_sp2 and not differentiable:
         return lambda F: sp2(sys, F, cfg.sp2_eps)
-    return lambda F: sym_eig(sys, F)[1]
+    return lambda F: sym_eig(sys, F,
+                             check_degeneracy=cfg.check_degeneracy)[1]
 
 
 class _State(NamedTuple):

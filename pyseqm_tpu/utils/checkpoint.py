@@ -1,0 +1,47 @@
+"""Checkpoint / resume for MD and training state.
+
+The reference has no checkpointing; its closest mechanisms are returning
+(P, Pt) from XL_BOMD.run for manual resume (XLBOMD.py:309-368) and the
+density-reuse SCF guess.  Here every driver state (MDState / XLBOMDState /
+NHState) is a registered pytree, so checkpointing is generic: flatten,
+save leaves + treedef structure, restore.
+
+Plain .npz is used (dependency-free, works for multi-GB states); for
+multi-host async checkpointing swap in orbax-checkpoint — the pytrees are
+already compatible.
+"""
+from __future__ import annotations
+
+import json
+from typing import Any
+
+import jax
+import numpy as np
+
+
+def save_state(path: str, state: Any):
+    """Serialize a pytree state to ``path`` (.npz)."""
+    leaves, treedef = jax.tree_util.tree_flatten(state)
+    arrays = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
+    arrays["__treedef__"] = np.frombuffer(
+        json.dumps(str(treedef)).encode(), dtype=np.uint8)
+    np.savez_compressed(path, **arrays)
+
+
+def load_state(path: str, like: Any) -> Any:
+    """Restore a pytree saved by :func:`save_state`.
+
+    ``like`` provides the tree structure (e.g. a freshly-initialized state
+    of the same shape); leaf values are replaced from the file.
+    """
+    d = np.load(path)
+    leaves, treedef = jax.tree_util.tree_flatten(like)
+    n = len(leaves)
+    loaded = [d[f"leaf_{i}"] for i in range(n)]
+    out = []
+    for ref, new in zip(leaves, loaded):
+        arr = np.asarray(new)
+        if hasattr(ref, "dtype") and arr.dtype != ref.dtype:
+            arr = arr.astype(ref.dtype)
+        out.append(arr)
+    return jax.tree_util.tree_unflatten(treedef, out)
