@@ -48,7 +48,8 @@ def make_batch(nmol: int, molsize: int = 8, names: Sequence[str] = None,
                jitter: float = 0.0, seed: int = 0
                ) -> Tuple[np.ndarray, np.ndarray]:
     """Round-robin batch of small organics padded to ``molsize``."""
-    names = list(names or MOLECULES.keys())
+    names = [n for n in (names or MOLECULES.keys())
+             if len(MOLECULES[n][0]) <= molsize]
     rng = np.random.RandomState(seed)
     species = np.zeros((nmol, molsize), dtype=np.int32)
     coords = np.zeros((nmol, molsize, 3))
