@@ -1,5 +1,10 @@
 """XL-BOMD dynamics on a batch of small organics with trajectory dump
 (cf. reference tests/test8.py)."""
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
 import jax.numpy as jnp
 
 import pyseqm_tpu as pq

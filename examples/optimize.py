@@ -1,5 +1,10 @@
 """Batched geometry optimization with L-BFGS (cf. reference examples/opt.py,
 which drives scipy L-BFGS-B; here it is optax, fully batched on device)."""
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
 import jax.numpy as jnp
 
 import pyseqm_tpu as pq

@@ -1,5 +1,10 @@
 """Single-point AM1 energy + forces for a small batch (cf. the reference
 examples/test.py workflow)."""
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
 import jax
 import jax.numpy as jnp
 

@@ -227,8 +227,10 @@ def frame_matrix(xij):
     one = jnp.asarray(1.0, dtype)
 
     z2sq = jnp.maximum(1.0 - x2 ** 2, 0.0)
-    z2 = jnp.sqrt(z2sq)
-    cond = z2 > 1.0e-5
+    cond = z2sq > 1.0e-10  # == (z2 > 1e-5), decided before the sqrt
+    # sqrt argument sanitized where unused: d(sqrt)/dx at 0 is inf and
+    # would turn the zero cotangent of the dead branch into NaN
+    z2 = jnp.sqrt(jnp.where(cond, z2sq, one))
     inv = 1.0 / jnp.where(cond, z2, one)
 
     z0 = jnp.where(cond, -inv * x0 * x2, one)

@@ -104,3 +104,16 @@ def test_xyz_io(tmp_path):
     z, x = read_xyz(p)
     assert list(z) == [8, 1, 1]
     assert x.shape == (3, 3)
+
+
+def test_on_axis_pair_force_finite():
+    """Bonds exactly along z hit the frame-rotation pole; gradients must
+    stay finite (guarded sqrt in frame_matrix)."""
+    from pyseqm_tpu.utils.molecules import make_batch
+    const = pq.make_constants(dtype=jnp.float64)
+    tables = pq.load_element_tables("AM1", dtype=jnp.float64)
+    cfg = pq.SEQMConfig(method="AM1", scf=SCFConfig(eps=1.0e-9, converger=(2,)))
+    sp, co = make_batch(1, molsize=8, names=["C2H6"])  # C-C along z
+    f, out = jax.jit(lambda s, c: pq.force(const, tables, cfg, s, c))(
+        jnp.asarray(sp), jnp.asarray(co, jnp.float64))
+    assert np.isfinite(np.asarray(f)).all()
