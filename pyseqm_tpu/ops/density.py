@@ -117,6 +117,7 @@ def sym_eig(sys: System, F: jnp.ndarray, eig_only: bool = False,
 
 class _SP2State(NamedTuple):
     a0: jnp.ndarray
+    tr_a: jnp.ndarray       # running trace (updated from scalars only)
     errm0: jnp.ndarray
     errm1: jnp.ndarray
     errm2: jnp.ndarray
@@ -152,22 +153,37 @@ def sp2(sys: System, F: jnp.ndarray, eps: float = 1.0e-4) -> jnp.ndarray:
     eye = jnp.eye(n, dtype=dtype)
     a0 = (eye[None] * hN[:, None, None] - Fp) / (hN - h1)[:, None, None]
 
-    tr = lambda x: jnp.trace(x, axis1=-2, axis2=-1)
-    err0 = jnp.abs(tr(a0) - noccd)
+    from . import sp2_pallas
+    if sp2_pallas.supported(n, dtype):
+        # VMEM-resident purification kernel (one HBM round-trip total)
+        Pp = sp2_pallas.sp2_purify_tpu(a0, noccd, eps)
+        P = permute_mat(Pp, inv)
+        m = orbital_mask(sys).astype(dtype)
+        return P * m[:, :, None] * m[:, None, :]
+
+    # a0 stays symmetric through the iteration, so tr(a^2) = sum(a o a)
+    # (a cheap fused reduction) and tr(a_new) follows from scalars — no
+    # per-iteration diagonal gathers.
+    tr0 = jnp.trace(a0, axis1=-2, axis2=-1)
+    err0 = jnp.abs(tr0 - noccd)
     # err0-derived init keeps the carry 'varying' under shard_map
-    st = _SP2State(a0, err0, err0, err0, err0 >= 0.0, jnp.asarray(0))
+    st = _SP2State(a0, tr0, err0, err0, err0, err0 >= 0.0, jnp.asarray(0))
 
     def cond(st):
         return jnp.any(st.notconverged) & (st.k < SP2_MAX_ITER)
 
-    def body(st):
+    def body_masked(st):
         a2 = jnp.matmul(st.a0, st.a0)
-        tr_a2 = tr(a2)
-        take_sq = jnp.abs(tr_a2 - noccd) < jnp.abs(2.0 * tr(st.a0) - tr_a2 - noccd)
-        a_new = jnp.where(take_sq[:, None, None], a2, 2.0 * st.a0 - a2)
+        tr_a2 = jnp.sum(st.a0 * st.a0, axis=(-2, -1))
+        take_sq = jnp.abs(tr_a2 - noccd) < jnp.abs(2.0 * st.tr_a - tr_a2 - noccd)
+        sel = (st.notconverged & take_sq)[:, None, None]
         nc = st.notconverged[:, None, None]
-        a0 = jnp.where(nc, a_new, st.a0)
-        errm0 = jnp.where(st.notconverged, jnp.abs(tr(a0) - noccd), st.errm0)
+        a0 = jnp.where(sel, a2, jnp.where(nc, 2.0 * st.a0 - a2, st.a0))
+        # exact trace for the stopping test (the incremental one drifts in
+        # f32 and can defeat the no-improvement criterion)
+        tr_exact = jnp.trace(a0, axis1=-2, axis2=-1)
+        tr_a = jnp.where(st.notconverged, tr_exact, st.tr_a)
+        errm0 = jnp.where(st.notconverged, jnp.abs(tr_a - noccd), st.errm0)
         errm1 = jnp.where(st.notconverged, st.errm0, st.errm1)
         errm2 = jnp.where(st.notconverged, st.errm1, st.errm2)
         if f32:
@@ -175,9 +191,18 @@ def sp2(sys: System, F: jnp.ndarray, eps: float = 1.0e-4) -> jnp.ndarray:
         else:
             done = (errm0 < eps) & (errm1 < eps)
         notconverged = st.notconverged & ~done
-        return _SP2State(a0, errm0, errm1, errm2, notconverged, st.k + 1)
+        return _SP2State(a0, tr_a, errm0, errm1, errm2, notconverged, st.k + 1)
 
-    st = jax.lax.while_loop(cond, body, st)
+    # while_loop iterations carry a large fixed dispatch cost on TPU, so run
+    # the masked body in fori chunks and only check the global convergence
+    # predicate between chunks (updates are per-molecule masked, so extra
+    # in-chunk iterations after convergence are no-ops)
+    CHUNK = 16
+
+    def chunk(st):
+        return jax.lax.fori_loop(0, CHUNK, lambda i, s: body_masked(s), st)
+
+    st = jax.lax.while_loop(cond, chunk, st)
     P = permute_mat(2.0 * st.a0, inv)
     m = orbital_mask(sys).astype(dtype)
     return P * m[:, :, None] * m[:, None, :]

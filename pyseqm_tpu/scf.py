@@ -271,9 +271,17 @@ def scf_iterate(
             return st, None
         st, _ = jax.lax.scan(scan_body, st0, None, length=cfg.backward_scan_iters)
     else:
+        # chunked while: while_loop iterations carry a large dispatch cost
+        # on TPU, so run several masked iterations per convergence check
+        # (converged molecules are frozen, extra iterations are no-ops)
+        CHUNK = 4
+
+        def chunk(st):
+            return jax.lax.fori_loop(0, CHUNK, lambda i, s: body(s), st)
+
         st = jax.lax.while_loop(
             lambda st: jnp.any(st.notconverged) & (st.k < cfg.max_iter),
-            body, st0)
+            chunk, st0)
     return st.P, st.notconverged
 
 
@@ -372,7 +380,12 @@ def scf_solve(
     if P0 is None or cfg.backward == 2:
         P0 = init_density(const, sys)
     if cfg.backward == 0:
-        P, nc = scf_iterate(sys, M, w, pscf, P0, cfg)
+        # stop gradients at the *inputs* so the fixed-point loop is never
+        # linearized (Hellmann-Feynman: the converged P is a constant;
+        # this also keeps non-differentiable kernels like Pallas SP2 out
+        # of AD tracing)
+        M0, w0, p0, Pi0 = jax.lax.stop_gradient((M, w, pscf, P0))
+        P, nc = scf_iterate(sys, M0, w0, p0, Pi0, cfg)
         return jax.lax.stop_gradient(P), nc
     if cfg.backward == 1:
         return make_scf_apply(cfg)(sys, M, w, pscf, P0)
