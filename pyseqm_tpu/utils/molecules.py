@@ -44,6 +44,37 @@ MOLECULES = {
 }
 
 
+def make_alkane(n_carbons: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Synthetic all-anti n-alkane C_k H_{2k+2} (sorted heavy-first).
+
+    Scale-test workload standing in for the reference's 884-atom nanostar
+    (tests/test10): n_carbons=294 gives 884 atoms / 3536 orbitals.
+    """
+    cc, ch = 1.54, 1.09
+    theta = np.deg2rad(111.0)
+    dz = cc * np.sin(theta / 2.0)
+    a = 0.5 * cc * np.cos(theta / 2.0)
+    # zigzag backbone in the xz-plane
+    carbons = np.array([[a * (1 if i % 2 == 0 else -1), 0.0, dz * i]
+                        for i in range(n_carbons)])
+    # CH2 hydrogens: in the xy-plane through C, bisecting away from the
+    # backbone, +-54.75 deg off the bisector (tetrahedral H-C-H)
+    cg, sg = np.cos(np.deg2rad(54.75)), np.sin(np.deg2rad(54.75))
+    hydros = []
+    for i, c in enumerate(carbons):
+        s = 1.0 if i % 2 == 0 else -1.0   # bisector points along +s x
+        hydros.append(c + ch * np.array([s * cg, sg, 0.0]))
+        hydros.append(c + ch * np.array([s * cg, -sg, 0.0]))
+        if i == 0 or i == n_carbons - 1:
+            zdir = -1.0 if i == 0 else 1.0
+            d = np.array([-s * np.sin(np.deg2rad(35.0)), 0.0,
+                          zdir * np.cos(np.deg2rad(35.0))])
+            hydros.append(c + ch * d)
+    species = np.concatenate([np.full(n_carbons, 6), np.full(len(hydros), 1)])
+    coords = np.concatenate([carbons, np.asarray(hydros)])
+    return species.astype(np.int32), coords
+
+
 def make_batch(nmol: int, molsize: int = 8, names: Sequence[str] = None,
                jitter: float = 0.0, seed: int = 0
                ) -> Tuple[np.ndarray, np.ndarray]:
