@@ -56,8 +56,11 @@ def b_integrals(x0):
     exact = absx > 0.5
     taylor = (absx <= 0.5) & (absx > 1.0e-6)
 
-    # exact branch
-    xs = jnp.where(exact, x0, jnp.asarray(1.0, dtype))
+    # exact branch; |x| clamped so exp never overflows (f32 caps at ~88).
+    # Pairs inside the 40-Bohr overlap cutoff always have |x| < 80, so the
+    # clamp only touches values that get masked downstream — without it,
+    # their inf intermediates turn zero VJP cotangents into NaN.
+    xs = jnp.clip(jnp.where(exact, x0, jnp.asarray(1.0, dtype)), -85.0, 85.0)
     tx = jnp.exp(xs) / xs
     tmx = -jnp.exp(-xs) / xs
     e1 = tx + tmx

@@ -216,36 +216,34 @@ def frame_matrix(xij):
     """Per-pair AO frame transform U (..., 4, 4).
 
     U[0,0] = 1; U[1+a, 1] = x_a, U[1+a, 2] = y_a, U[1+a, 3] = z_a where
-    x = -xij is the local sigma axis and y, z complete the frame with the
-    reference's near-pole regularization (two_elec_two_center_int.py:233-266):
-    when |x_z| -> 1 the frame snaps to (z = (1,0,0)-ish, y = (0,1,0)).
-    y_z == 0 by construction.
+    x = -xij is the local sigma axis and (y, z) complete an orthonormal
+    frame.  The two-electron tensor is invariant under rotations about the
+    bond (the two pi channels are equivalent; cf. the (qxxqxx-qxxqyy)/2
+    relation in repp.f), so the gauge is free: instead of the reference's
+    pole-prone construction (two_elec_two_center_int.py:233-266, which
+    cancels catastrophically in 1 - x_z^2 for near-axis bonds — fatal in
+    f32 with TPU transcendental rounding), build y by crossing x with the
+    coordinate axis least aligned with it.  Stable everywhere:
+    |x cross ref| >= 1/sqrt(2).
     """
     dtype = xij.dtype
     x = -xij
-    x0, x1, x2 = x[..., 0], x[..., 1], x[..., 2]
-    one = jnp.asarray(1.0, dtype)
+    # reference axis: e_z unless the bond is within 45 deg of z, else e_x
+    use_z = (jnp.abs(x[..., 2]) < 0.70710678)[..., None]
+    ez = jnp.asarray([0.0, 0.0, 1.0], dtype)
+    ex = jnp.asarray([1.0, 0.0, 0.0], dtype)
+    ref = jnp.where(use_z, ez, ex)
+    y = jnp.cross(x, ref)
+    y = y / jnp.sqrt(jnp.sum(y * y, axis=-1, keepdims=True))
+    z = jnp.cross(x, y)
 
-    z2sq = jnp.maximum(1.0 - x2 ** 2, 0.0)
-    cond = z2sq > 1.0e-10  # == (z2 > 1e-5), decided before the sqrt
-    # sqrt argument sanitized where unused: d(sqrt)/dx at 0 is inf and
-    # would turn the zero cotangent of the dead branch into NaN
-    z2 = jnp.sqrt(jnp.where(cond, z2sq, one))
-    inv = 1.0 / jnp.where(cond, z2, one)
-
-    z0 = jnp.where(cond, -inv * x0 * x2, one)
-    z1 = jnp.where(cond, -inv * x1 * x2, 0.0)
-    zv2 = jnp.where(cond, z2, 0.0)
-
-    y0 = jnp.where(cond, -inv * x1 * jnp.where(x0 >= 0.0, one, -one), 0.0)
-    y1 = jnp.where(cond, jnp.abs(inv * x0), one)
-
-    zero = jnp.zeros_like(x0)
+    zero = jnp.zeros_like(x[..., 0])
+    one = jnp.ones_like(zero)
     U = jnp.stack([
-        jnp.stack([jnp.ones_like(x0), zero, zero, zero], axis=-1),
-        jnp.stack([zero, x0, y0, z0], axis=-1),
-        jnp.stack([zero, x1, y1, z1], axis=-1),
-        jnp.stack([zero, x2, zero, zv2], axis=-1),
+        jnp.stack([one, zero, zero, zero], axis=-1),
+        jnp.stack([zero, x[..., 0], y[..., 0], z[..., 0]], axis=-1),
+        jnp.stack([zero, x[..., 1], y[..., 1], z[..., 1]], axis=-1),
+        jnp.stack([zero, x[..., 2], y[..., 2], z[..., 2]], axis=-1),
     ], axis=-2)
     return U
 

@@ -160,6 +160,15 @@ def scf_iterate(
         EMAT=_emat_init(nmol, dtype) + zb[:, None, None],
     )
 
+    # |dEelec| cannot resolve below a few ULPs of Eelec itself; without
+    # this floor, f32 batches with large |Eelec| iterate forever and the
+    # stale DIIS buffers eventually destabilize (no-op for f64 at the
+    # reference's tolerances)
+    eps_mach = float(jnp.finfo(P0.dtype).eps)
+
+    def _tol(E):
+        return jnp.maximum(jnp.asarray(cfg.eps, dtype), 8.0 * eps_mach * jnp.abs(E))
+
     def finish(st, P, Pold, extra=None):
         """Common tail: rebuild F, energies, masked commit."""
         nc = st.notconverged
@@ -170,7 +179,7 @@ def scf_iterate(
         Enew = _elec_energy(P, F, H)
         err = jnp.where(nc, jnp.abs(Enew - st.Eelec), st.err)
         Eelec = jnp.where(nc, Enew, st.Eelec)
-        notconverged = err > cfg.eps
+        notconverged = err > _tol(Eelec)
         d = dict(P=P, Pold=Pold, F=F, Eelec=Eelec, err=err,
                  notconverged=notconverged, k=st.k + 1,
                  cfock=st.cfock, counter=st.counter,
@@ -232,8 +241,12 @@ def scf_iterate(
         rhs = jax.nn.one_hot(cfock, _NFOCK + 1, dtype=EVEC.dtype)
         col = jnp.linalg.solve(B, jnp.broadcast_to(rhs[:, None], B.shape[:1] + (6, 1)))[..., 0]
         coeff = -col[:, :_NFOCK] * (jnp.arange(_NFOCK)[None, :] < cfock)
+        # guard against a near-singular EMAT (stagnant f32 iterations):
+        # fall back to the plain latest Fock for that molecule
+        sane = (jnp.all(jnp.isfinite(coeff), axis=-1)
+                & (jnp.max(jnp.abs(coeff), axis=-1) < 1.0e3))
         Fd = jnp.einsum('nk,nkij->nij', coeff, st.FOCK)
-        Fd = jnp.where(nc[:, None, None], Fd, st.F)
+        Fd = jnp.where((nc & sane)[:, None, None], Fd, st.F)
 
         Pnew = density(Fd)
         ncm = nc[:, None, None]
@@ -245,7 +258,7 @@ def scf_iterate(
         err = jnp.where(nc, jnp.abs(Enew - st.Eelec), st.err)
         Eelec = jnp.where(nc, Enew, st.Eelec)
         return _State(P=st2.P, Pold=st.Pold, F=st2.F, Eelec=Eelec, err=err,
-                      notconverged=err > cfg.eps, k=st.k + 1,
+                      notconverged=err > _tol(Eelec), k=st.k + 1,
                       cfock=cfock, counter=counter,
                       FOCK=FOCK, FPPF=FPPF, EMAT=EMAT)
 
