@@ -94,11 +94,80 @@ def measure_reference_cpu(nmol=NMOL, steps=3):
     return steps / dt
 
 
+def bench_scf(nmol=NMOL, repeats=3):
+    """Batched single-point SCF throughput (BASELINE config 2)."""
+    import jax
+    import jax.numpy as jnp
+    import pyseqm_tpu as pq
+    from pyseqm_tpu.scf import SCFConfig
+    from pyseqm_tpu.utils.molecules import make_batch
+
+    const, tables, cfg = pq.build(
+        "AM1", dtype=jnp.float32,
+        scf=SCFConfig(eps=1.0e-3, converger=(2,), use_sp2=True,
+                      sp2_eps=1.0e-2, max_iter=200))
+    sp, co = make_batch(nmol, MOLSIZE, jitter=0.02)
+    species = jnp.asarray(sp)
+    coords = jnp.asarray(co, dtype=jnp.float32)
+    efn = jax.jit(lambda c: pq.energy(const, tables, cfg, species, c).Hf)
+    jax.block_until_ready(efn(coords))
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        jax.block_until_ready(efn(coords))
+        times.append(time.perf_counter() - t0)
+    return nmol / min(times)
+
+
+def bench_nanostar(n_carbons=294, repeats=3):
+    """Single 884-atom molecule (reference tests/test10 analogue):
+    XL-BOMD-style force-step seconds."""
+    import jax
+    import jax.numpy as jnp
+    import pyseqm_tpu as pq
+    from pyseqm_tpu.models.xlbomd import force_xl
+    from pyseqm_tpu.scf import SCFConfig
+    from pyseqm_tpu.utils.molecules import make_alkane
+
+    z, x = make_alkane(n_carbons)
+    species = jnp.asarray(z[None])
+    coords = jnp.asarray(x[None], jnp.float32)
+    const, tables, cfg = pq.build(
+        "AM1", dtype=jnp.float32,
+        scf=SCFConfig(eps=1.0e-3, converger=(2,), use_sp2=True,
+                      sp2_eps=1.0e-2, max_iter=400))
+    out = jax.block_until_ready(jax.jit(
+        lambda c: pq.energy(const, tables, cfg, species, c))(coords))
+    ffn = jax.jit(lambda c, P: force_xl(const, tables, cfg, species, c, P))
+    jax.block_until_ready(ffn(coords, out.P))
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        jax.block_until_ready(ffn(coords, out.P))
+        times.append(time.perf_counter() - t0)
+    return 1.0 / min(times)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--measure-ref", action="store_true")
     ap.add_argument("--nmol", type=int, default=NMOL)
+    ap.add_argument("--config", choices=["xlbomd", "scf", "nanostar"],
+                    default="xlbomd")
     args = ap.parse_args()
+
+    if args.config == "scf":
+        v = bench_scf(args.nmol)
+        print(json.dumps({"metric": f"scf_am1_sp2_mol_per_sec@{args.nmol}mol",
+                          "value": round(v, 1), "unit": "molecules/sec",
+                          "vs_baseline": None}))
+        return
+    if args.config == "nanostar":
+        v = bench_nanostar()
+        print(json.dumps({"metric": "xlbomd_force_steps_per_sec@884atoms",
+                          "value": round(v, 3), "unit": "steps/sec",
+                          "vs_baseline": None}))
+        return
 
     if args.measure_ref:
         ref = measure_reference_cpu(args.nmol)
