@@ -173,16 +173,19 @@ def sp2(sys: System, F: jnp.ndarray, eps: float = 1.0e-4) -> jnp.ndarray:
         return jnp.any(st.notconverged) & (st.k < SP2_MAX_ITER)
 
     def body_masked(st):
+        # ONE reduction per iteration: tr(a^2) = |a|_F^2 (a stays
+        # symmetric).  tr(a_new) follows from scalars; mixing a second
+        # reduction kind into this body triggers an XLA/TPU fusion
+        # pathology (~10x slowdown), so the exact trace is refreshed only
+        # at chunk boundaries below, correcting the tiny f32 drift.
         a2 = jnp.matmul(st.a0, st.a0)
         tr_a2 = jnp.sum(st.a0 * st.a0, axis=(-2, -1))
         take_sq = jnp.abs(tr_a2 - noccd) < jnp.abs(2.0 * st.tr_a - tr_a2 - noccd)
         sel = (st.notconverged & take_sq)[:, None, None]
         nc = st.notconverged[:, None, None]
         a0 = jnp.where(sel, a2, jnp.where(nc, 2.0 * st.a0 - a2, st.a0))
-        # exact trace for the stopping test (the incremental one drifts in
-        # f32 and can defeat the no-improvement criterion)
-        tr_exact = jnp.trace(a0, axis1=-2, axis2=-1)
-        tr_a = jnp.where(st.notconverged, tr_exact, st.tr_a)
+        tr_new = jnp.where(take_sq, tr_a2, 2.0 * st.tr_a - tr_a2)
+        tr_a = jnp.where(st.notconverged, tr_new, st.tr_a)
         errm0 = jnp.where(st.notconverged, jnp.abs(tr_a - noccd), st.errm0)
         errm1 = jnp.where(st.notconverged, st.errm0, st.errm1)
         errm2 = jnp.where(st.notconverged, st.errm1, st.errm2)
@@ -200,7 +203,10 @@ def sp2(sys: System, F: jnp.ndarray, eps: float = 1.0e-4) -> jnp.ndarray:
     CHUNK = 16
 
     def chunk(st):
-        return jax.lax.fori_loop(0, CHUNK, lambda i, s: body_masked(s), st)
+        st = jax.lax.fori_loop(0, CHUNK, lambda i, s: body_masked(s), st)
+        # refresh the running trace from the actual iterate
+        tr_exact = jnp.trace(st.a0, axis1=-2, axis2=-1)
+        return st._replace(tr_a=jnp.where(st.notconverged, tr_exact, st.tr_a))
 
     st = jax.lax.while_loop(cond, chunk, st)
     P = permute_mat(2.0 * st.a0, inv)

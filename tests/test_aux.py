@@ -117,3 +117,36 @@ def test_on_axis_pair_force_finite():
     f, out = jax.jit(lambda s, c: pq.force(const, tables, cfg, s, c))(
         jnp.asarray(sp), jnp.asarray(co, jnp.float64))
     assert np.isfinite(np.asarray(f)).all()
+
+
+def test_net_charge(golden):
+    """Net molecular charge (reference tests/test.py charges kwarg):
+    H3O+ runs closed-shell and differs from neutral-ish references."""
+    const, tables, cfg, _, _ = _setup(golden)
+    species = jnp.asarray([[8, 1, 1, 1]], dtype=jnp.int32)
+    coords = jnp.asarray([[[0.0, 0.0, 0.0], [0.0, 0.94, -0.25],
+                           [0.82, -0.47, -0.25], [-0.82, -0.47, -0.25]]],
+                         dtype=jnp.float64)
+    out = jax.jit(lambda c: pq.energy(const, tables, cfg, species, c,
+                                      charges=jnp.asarray([1])))(coords)
+    assert not bool(out.notconverged[0])
+    sys_ = pq.make_system(const, species, coords, jnp.asarray([1]))
+    assert int(sys_.nocc[0]) == 4  # 8 electrons, closed shell
+    assert np.isfinite(float(out.Hf[0]))
+    # validate() flags the odd-electron neutral radical
+    with pytest.raises(ValueError):
+        pq.system.validate(np.asarray(species))
+
+
+def test_converger_consistency(golden):
+    """All three convergers reach the same fixed point (f64)."""
+    const, tables, _, species, coords = _setup(golden)
+    hfs = []
+    for conv in ((0, 0.0), (1,), (2,)):
+        cfg = pq.SEQMConfig(method="AM1",
+                            scf=SCFConfig(eps=1.0e-10, converger=conv))
+        out = jax.jit(lambda c: pq.energy(const, tables, cfg, species, c))(coords)
+        assert not np.asarray(out.notconverged).any()
+        hfs.append(np.asarray(out.Hf))
+    np.testing.assert_allclose(hfs[0], hfs[2], atol=1e-8)
+    np.testing.assert_allclose(hfs[1], hfs[2], atol=1e-8)
