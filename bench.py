@@ -47,8 +47,10 @@ def bench_tpu(nmol=NMOL, chunk=CHUNK, repeats=3):
     coords = jnp.asarray(co, dtype=jnp.float32)
 
     md = XLBOMD(const, tables, cfg, MDConfig(timestep=0.4), k=K_XL)
+    # initial_force=False: skip compiling the full-SCF gradient just for
+    # the bootstrap acceleration (throughput-irrelevant)
     init = jax.jit(lambda c: md.initialize(
-        species, c, velocities=jnp.zeros_like(c)))
+        species, c, velocities=jnp.zeros_like(c), initial_force=False))
     state = jax.block_until_ready(init(coords))
 
     step_chunk = md._build_chunk(species, chunk)

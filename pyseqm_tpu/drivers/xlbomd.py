@@ -77,8 +77,30 @@ class XLBOMD(MolecularDynamics):
         self.coeff = jnp.asarray(coeff * 2)  # doubled for circular slicing
 
     def initialize(self, species, coordinates, velocities=None, key=None,
-                   Temp=300.0) -> XLBOMDState:
-        st = super().initialize(species, coordinates, velocities, key, Temp)
+                   Temp=300.0, initial_force: bool = True) -> XLBOMDState:
+        """Bootstrap with one full SCF (cf. XL_BOMD.initialize,
+        XLBOMD.py:264-269).  ``initial_force=False`` skips the SCF-gradient
+        evaluation (acc starts at zero; the first half-step is off by
+        O(dt^2) — useful when the bootstrap compile cost matters, e.g.
+        benchmarks)."""
+        if initial_force:
+            st = super().initialize(species, coordinates, velocities, key, Temp)
+        else:
+            from ..models.energy import energy
+            key = key if key is not None else jax.random.PRNGKey(0)
+            k1, k2 = jax.random.split(key)
+            if velocities is None:
+                from .md import initialize_velocity
+                velocities = initialize_velocity(self.const, species,
+                                                 coordinates, k1, Temp)
+            out = energy(self.const, self.tables, self.seqm_cfg, species,
+                         coordinates, learned=self.learned)
+            from .md import MDState, kinetic_energy
+            Ek, _ = kinetic_energy(self.const, species, velocities)
+            st = MDState(coordinates=coordinates, velocities=velocities,
+                         acc=jnp.zeros_like(coordinates),
+                         P=jax.lax.stop_gradient(out.P),
+                         E0=out.Hf + Ek, key=k2, step=jnp.asarray(0))
         D = st.P
         Pt = jnp.broadcast_to(D[None], (self.m,) + D.shape)
         return XLBOMDState(
