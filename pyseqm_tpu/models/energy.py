@@ -43,6 +43,10 @@ class SEQMConfig:
     # SCF convergence (NaNs / 0.5 eV errors); "highest" runs full-f32
     # passes on the MXU and restores CPU-f32-level accuracy.
     matmul_precision: str = "highest"
+    # grid-resident two-electron integrals (scatter-free Fock builds).
+    # None = auto: on for large molecules where the flat pair list's
+    # scatter/gather ops dominate the Fock cost.
+    dense_pair_grid: Optional[bool] = None
 
 
 class EnergyOutput(NamedTuple):
@@ -119,7 +123,11 @@ def _energy_impl(const, tables, cfg, species, coordinates, learned, P0,
     # remat the integral stack: its backward pass recomputes the (cheap,
     # elementwise-heavy) integrals instead of storing every intermediate —
     # cuts peak HBM by an order of magnitude on large batches
-    M, w = jax.checkpoint(hcore, static_argnums=())(const, sys, p, Kbeta)
+    dense = cfg.dense_pair_grid
+    if dense is None:
+        dense = species.shape[1] >= 64
+    M, w = jax.checkpoint(hcore, static_argnums=(4,))(
+        const, sys, p, Kbeta, dense)
     P, notconverged = scf_solve(const, sys, M, w, p, cfg.scf, P0)
     F = fock(sys, P, M, w, p)
     H = grid_to_mat(M)
@@ -133,6 +141,8 @@ def _energy_impl(const, tables, cfg, species, coordinates, learned, P0,
         r0a = 0.5 * EV / jnp.where(pm, ga, 1.0)
         r0b = 0.5 * EV / jnp.where(pm, gb, 1.0)
         gam = jnp.where(pm, EV / jnp.sqrt(sys.rij ** 2 + (r0a + r0b) ** 2), 0.0)
+    elif hasattr(w, "rig"):
+        gam = w.rig[:, sys.pair_i, sys.pair_j, 0]
     else:
         gam = w.ri[..., 0]  # (s_i s_i | s_j s_j)
     EnucAB = pair_nuclear_energy(const, sys, gam, cfg.method, p)

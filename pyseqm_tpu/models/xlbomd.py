@@ -58,8 +58,13 @@ def _energy_xl_impl(const, tables, cfg, species, coordinates, P, learned,
     p.pop("g_ss_nuc", None)
 
     # remat: recompute integrals in the force backward pass instead of
-    # storing intermediates (peak-HBM reduction on large batches)
-    M, w = jax.checkpoint(hcore, static_argnums=())(const, sys, p, Kbeta)
+    # storing intermediates (peak-HBM reduction on large batches).
+    # XL-BOMD builds ONE Fock per integral set, so the grid-resident
+    # integral layout never amortizes its placement cost here: auto=off
+    # (the SCF path auto-enables it for large molecules instead).
+    dense = bool(cfg.dense_pair_grid)
+    M, w = jax.checkpoint(hcore, static_argnums=(4,))(
+        const, sys, p, Kbeta, dense)
     H = grid_to_mat(M)
     F = fock(sys, P, M, w, p)
 
@@ -71,7 +76,9 @@ def _energy_xl_impl(const, tables, cfg, species, coordinates, P, learned,
         D = sym_eig(sys, jax.lax.stop_gradient(F))[1]
     D = jax.lax.stop_gradient(D)
 
-    EnucAB = pair_nuclear_energy(const, sys, w.ri[..., 0], cfg.method, p)
+    gam = (w.rig[:, sys.pair_i, sys.pair_j, 0] if hasattr(w, "rig")
+           else w.ri[..., 0])
+    EnucAB = pair_nuclear_energy(const, sys, gam, cfg.method, p)
     Eelec = elec_energy_xl(D, P, F, H)
     Etot, Enuc = total_energy(EnucAB, Eelec)
     Eiso = elec_energy_isolated_atom(const, sys.species, p)

@@ -14,7 +14,8 @@ import jax.numpy as jnp
 
 from ..system import System
 from .matrix import grid_to_mat, mat_to_grid
-from .tetci import WPack, w_coulomb_i, w_coulomb_j, w_exchange
+from .tetci import (WPack, WPackGrid, _w_apply, w_coulomb_i, w_coulomb_j,
+                    w_exchange)
 
 
 def fock(sys: System, P: jnp.ndarray, M: jnp.ndarray, w: WPack,
@@ -58,6 +59,21 @@ def fock(sys: System, P: jnp.ndarray, M: jnp.ndarray, w: WPack,
         ppx = Pd[..., i, j] * (0.75 * gpp - 1.25 * gp2)
         tmp = tmp.at[..., i, j].set(ppx)
         tmp = tmp.at[..., j, i].set(ppx)
+
+    if isinstance(w, WPackGrid):
+        # dense ordered-pair path (large molecules): every contraction is a
+        # broadcast + axis reduction — no scatters or gathers in the hot
+        # SCF loop.  Each ordered cell (i, j) carries the bra on i, so one
+        # ket-pairing covers both of the flat path's Coulomb halves, and
+        # the exchange grid directly yields both F triangles.
+        pack = WPack(ri=w.rig, U=w.ug)
+        Xj = jnp.broadcast_to(Pd[:, None], Pg.shape)
+        coul = _w_apply(pack, Xj, (1, 2, 3, 4))        # (nmol, A, A, 4, 4)
+        dsum = jnp.sum(coul, axis=2)
+        x = -0.5 * _w_apply(pack, Pg, (1, 3, 2, 4))    # zero on diagonal cells
+        F = M + x
+        F = F.at[:, idx, idx].add(tmp + dsum)
+        return grid_to_mat(F)
 
     # ---- two-center Coulomb: diagonal-block contributions ----
     # diag(i) += sum_j w_(ij)[ab,cd] P_diag(j)[cd]  (and the mirror);

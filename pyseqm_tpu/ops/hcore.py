@@ -52,6 +52,7 @@ def hcore(
     sys: System,
     p: Dict[str, jnp.ndarray],
     Kbeta: Optional[jnp.ndarray] = None,
+    dense_grid: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Assemble the core Hamiltonian block grid and two-electron integrals.
 
@@ -124,4 +125,9 @@ def hcore(
     M = M.at[:, idx, idx].set(dblk)
     M = M.at[:, iu, ju].set(off)
     M = M.at[:, ju, iu].set(jnp.swapaxes(off, -1, -2))
+    if dense_grid:
+        # grid-resident integrals: pay the placement once here so every
+        # Fock build in the SCF loop is scatter/gather-free (tetci.py)
+        from .tetci import to_grid
+        return M, to_grid(w, A, iu, ju)
     return M, w

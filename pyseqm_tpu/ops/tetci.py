@@ -423,6 +423,36 @@ def w_exchange(pack: WPack, p_pair):
     return _w_apply(pack, p_pair, (1, 3, 2, 4))
 
 
+# bra<->ket swap permutation of the 22 local integrals: w_ji = w_ij^T
+# (transpose over the (ab),(cd) index groups) equals the rotation of the
+# relabeled locals with the SAME frame U
+RI_SWAP = np.array([0, 4, 10, 11, 1, 5, 6, 12, 13, 14,
+                    2, 3, 7, 8, 9, 15, 17, 16, 18, 19, 20, 21])
+
+
+class WPackGrid(NamedTuple):
+    """Grid-resident two-electron integrals for scatter-free Fock builds.
+
+    rig[n, i, j] holds the local integrals of the ordered pair (i, j)
+    (zero on the diagonal / masked pairs); ug[n, i, j] the shared frame.
+    Memory O(nmol A^2); used for large single molecules where the flat
+    pair list's scatter/gather ops dominate the Fock cost.
+    """
+    rig: jnp.ndarray   # (nmol, A, A, 22)
+    ug: jnp.ndarray    # (nmol, A, A, 4, 4)
+
+
+def to_grid(pack: WPack, A: int, iu, ju) -> WPackGrid:
+    nmol = pack.ri.shape[0]
+    rig = jnp.zeros((nmol, A, A, 22), pack.ri.dtype)
+    rig = rig.at[:, iu, ju].set(pack.ri)
+    rig = rig.at[:, ju, iu].set(pack.ri[..., RI_SWAP])
+    ug = jnp.zeros((nmol, A, A, 4, 4), pack.U.dtype)
+    ug = ug.at[:, iu, ju].set(pack.U)
+    ug = ug.at[:, ju, iu].set(pack.U)
+    return WPackGrid(rig=rig, ug=ug)
+
+
 def assemble_w(pack: WPack) -> jnp.ndarray:
     """Materialize the full (..., 4,4,4,4) integral tensor (tests only)."""
     return rotate_w(pack.ri, None, U=pack.U)
