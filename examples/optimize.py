@@ -20,7 +20,7 @@ def main():
     species = jnp.asarray(sp)
     coords = jnp.asarray(co, dtype=jnp.float32)
     x, ferr = geometry_optimize_lbfgs(const, tables, cfg, species, coords,
-                                      force_tol=5e-3, max_evl=150, log=True)
+                                      force_tol=5e-3, max_evl=30, log=True)
     print("final max|F|:", float(ferr))
 
 

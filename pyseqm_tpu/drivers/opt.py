@@ -97,24 +97,28 @@ def geometry_optimize_lbfgs(
 
     amask = (species > 0)[..., None]
 
-    @jax.jit
-    def val_grad(coords):
+    def val(coords):
         out = energy(const, tables, cfg, species, coords, learned=learned)
         return jnp.sum(out.Hf)
 
-    vg = jax.jit(jax.value_and_grad(val_grad))
     opt = optax.lbfgs()
-    state = opt.init(coordinates)
-    for i in range(max_evl):
-        value, grads = vg(coordinates)
+
+    @jax.jit
+    def step(coords, state):
+        value, grads = jax.value_and_grad(val)(coords)
         grads = jnp.where(amask, grads, 0.0)
-        ferr = float(jnp.max(jnp.abs(grads)))
+        updates, state = opt.update(grads, state, coords, value=value,
+                                    grad=grads, value_fn=val)
+        return optax.apply_updates(coords, updates), state, value, \
+            jnp.max(jnp.abs(grads))
+
+    state = opt.init(coordinates)
+    ferr = jnp.inf
+    for i in range(max_evl):
+        new_coords, state, value, ferr = step(coordinates, state)
         if log:
-            print(f"{i + 1} {ferr:e} {float(value):e}")
-        if ferr <= force_tol:
+            print(f"{i + 1} {float(ferr):e} {float(value):e}")
+        if float(ferr) <= force_tol:
             break
-        updates, state = opt.update(
-            grads, state, coordinates, value=value, grad=grads,
-            value_fn=val_grad)
-        coordinates = optax.apply_updates(coordinates, updates)
+        coordinates = new_coords
     return coordinates, jnp.asarray(ferr)
