@@ -25,7 +25,7 @@ BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "benchmarks", "ref_cpu_baseline.json")
 
 
-def bench_tpu(nmol=NMOL, chunk=CHUNK, repeats=3):
+def bench_tpu(nmol=NMOL, chunk=CHUNK, repeats=3, timing=False, ml=False):
     import jax
     # persistent compile cache: the big DIIS/while_loop programs compile
     # once per machine instead of once per process
@@ -37,6 +37,9 @@ def bench_tpu(nmol=NMOL, chunk=CHUNK, repeats=3):
     from pyseqm_tpu.drivers.xlbomd import XLBOMD
     from pyseqm_tpu.scf import SCFConfig
     from pyseqm_tpu.utils.molecules import make_batch
+    from pyseqm_tpu.utils.timing import Timing
+
+    tm = Timing() if timing else None
 
     const, tables, cfg = pq.build(
         "AM1", dtype=jnp.float32,
@@ -46,22 +49,61 @@ def bench_tpu(nmol=NMOL, chunk=CHUNK, repeats=3):
     species = jnp.asarray(sp)
     coords = jnp.asarray(co, dtype=jnp.float32)
 
-    md = XLBOMD(const, tables, cfg, MDConfig(timestep=0.4), k=K_XL)
+    learned = None
+    if ml:
+        # learned-Hamiltonian flagship (BASELINE config 5): per-atom NDDO
+        # parameters predicted each step by a geometry-dependent network
+        # through the learned_parameters callable path.  The reference's
+        # model.pt is an unloadable hippynn pickle (hippynn unavailable);
+        # models/ml.py provides the JAX-native equivalent interface.
+        from pyseqm_tpu.models.ml import (init_param_model,
+                                          make_learned_callable)
+        weights = init_param_model(tables, jax.random.PRNGKey(7))
+        learned = make_learned_callable(weights, tables)
+        # parity check: learned != table energies, both finite
+        probe_sp, probe_co = species[:64], coords[:64]
+        e_tab = jax.jit(lambda c: pq.energy(
+            const, tables, cfg, probe_sp, c).Hf)(probe_co)
+        e_ml = jax.jit(lambda c: pq.energy(
+            const, tables, cfg, probe_sp, c, learned=learned).Hf)(probe_co)
+        d = float(jnp.max(jnp.abs(e_tab - e_ml)))
+        assert jnp.isfinite(e_ml).all() and d > 1.0e-4, (
+            f"learned parameters had no effect (max dHf={d})")
+        print(f"learned-vs-table max |dHf| = {d:.4f} eV over 64 molecules",
+              file=sys.stderr)
+
+    md = XLBOMD(const, tables, cfg, MDConfig(timestep=0.4), k=K_XL, timing=tm,
+                learned=learned)
     # initial_force=False: skip compiling the full-SCF gradient just for
     # the bootstrap acceleration (throughput-irrelevant)
     init = jax.jit(lambda c: md.initialize(
         species, c, velocities=jnp.zeros_like(c), initial_force=False))
-    state = jax.block_until_ready(init(coords))
-
-    step_chunk = md._build_chunk(species, chunk)
-    state, obs = jax.block_until_ready(step_chunk(state))  # warmup/compile
+    if tm is not None:
+        with tm.phase("bootstrap SCF"):
+            state = jax.block_until_ready(init(coords))
+        with tm.phase("compile step chunk"):
+            step_chunk = md._build_chunk(species, chunk)
+            state, obs = jax.block_until_ready(step_chunk(state))
+    else:
+        state = jax.block_until_ready(init(coords))
+        step_chunk = md._build_chunk(species, chunk)
+        state, obs = jax.block_until_ready(step_chunk(state))  # warmup/compile
 
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
-        state, obs = jax.block_until_ready(step_chunk(state))
+        if tm is not None:
+            with tm.phase("XL-BOMD steps"):
+                state, obs = jax.block_until_ready(step_chunk(state))
+        else:
+            state, obs = jax.block_until_ready(step_chunk(state))
         times.append(time.perf_counter() - t0)
     dt = min(times)
+    if tm is not None:
+        print("--- phase timing ---", file=sys.stderr)
+        import contextlib
+        with contextlib.redirect_stdout(sys.stderr):
+            tm.report()
     return chunk / dt, float(jax.numpy.mean(obs.Epot[-1]))
 
 
@@ -154,9 +196,20 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--measure-ref", action="store_true")
     ap.add_argument("--nmol", type=int, default=NMOL)
-    ap.add_argument("--config", choices=["xlbomd", "scf", "nanostar"],
+    ap.add_argument("--timing", action="store_true",
+                    help="print a per-phase wall-clock report to stderr")
+    ap.add_argument("--config",
+                    choices=["xlbomd", "xlbomd-ml", "scf", "nanostar"],
                     default="xlbomd")
     args = ap.parse_args()
+
+    if args.config == "xlbomd-ml":
+        value, epot = bench_tpu(args.nmol, timing=args.timing, ml=True)
+        print(json.dumps({
+            "metric": f"xlbomd_ml_am1_sp2_steps_per_sec@{args.nmol}mol",
+            "value": round(value, 3), "unit": "steps/sec",
+            "vs_baseline": None}))
+        return
 
     if args.config == "scf":
         v = bench_scf(args.nmol)
@@ -182,7 +235,7 @@ def main():
         print(json.dumps({"reference_steps_per_sec": ref}))
         return
 
-    value, epot = bench_tpu(args.nmol)
+    value, epot = bench_tpu(args.nmol, timing=args.timing)
     ref = None
     if os.path.exists(BASELINE_FILE):
         with open(BASELINE_FILE) as f:

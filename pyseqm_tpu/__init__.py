@@ -12,6 +12,7 @@ from .constants import EV, A0, Constants, make_constants  # noqa: F401
 from .parameters import PARAMETER_LIST, load_element_tables  # noqa: F401
 from .scf import SCFConfig  # noqa: F401
 from .system import System, make_system, sort_species  # noqa: F401
-from .models.energy import SEQMConfig, build, energy, force  # noqa: F401
+from .models.energy import (SEQMConfig, build, energy, force,  # noqa: F401
+                            hamiltonian)
 
 __version__ = "0.1.0"

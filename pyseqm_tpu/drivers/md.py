@@ -145,13 +145,16 @@ class MolecularDynamics:
     """NVE velocity-Verlet driver (cf. Molecular_Dynamics_Basic)."""
 
     def __init__(self, const: Constants, tables, seqm_cfg: SEQMConfig,
-                 md_cfg: MDConfig = MDConfig(), learned=None):
+                 md_cfg: MDConfig = MDConfig(), learned=None, timing=None):
         self.const = const
         self.tables = tables
         self.seqm_cfg = seqm_cfg
         self.md_cfg = md_cfg
         self.learned = learned
         self._chunk_fn = None
+        # opt-in phase wall-clock accounting (cf. Constants.do_timing,
+        # reference constants.py:133-140): pass a utils.timing.Timing()
+        self.timing = timing
 
     # -- force model ---------------------------------------------------
     def compute_force(self, species, state: MDState):
@@ -250,29 +253,59 @@ class MolecularDynamics:
             molids=(0,), log: bool = True) -> MDState:
         """Drive `steps` steps in thermo-sized scan chunks with host I/O
         between chunks (thermo lines / extended-xyz dumps,
-        cf. MolecularDynamics.py:291-320)."""
-        chunk = self._build_chunk(species, thermo)
+        cf. MolecularDynamics.py:291-320).
+
+        The final chunk is clamped so exactly `steps` steps run; dump /
+        remove_com intervals need not be multiples of `thermo` — they fire
+        whenever their boundary is crossed within a chunk."""
+        chunks = {}
+
+        def get_chunk(n):
+            if n not in chunks:
+                chunks[n] = self._build_chunk(species, n)
+            return chunks[n]
+
         done = 0
         if log:
-            print("Step, Temp, E(kinetic), E(potential), E(total)")
+            print("Step, Temp, E(kinetic), E(potential), E(total), "
+                  "dipole(x,y,z)")
         while done < steps:
-            state, obs = chunk(state)
-            done += thermo
+            n = min(thermo, steps - done)
+            if self.timing is not None:
+                with self.timing.phase("MD"):
+                    state, obs = get_chunk(n)(state)
+                    jax.block_until_ready(obs)
+            else:
+                state, obs = get_chunk(n)(state)
+            prev = done
+            done += n
             last = jax.tree_util.tree_map(lambda x: x[-1], obs)
             if log:
                 cols = " ".join(
                     f"{float(last.T[m]):8.2f} {float(last.Ek[m]):.6e} "
                     f"{float(last.Epot[m]):.6e} "
-                    f"{float(last.Ek[m] + last.Epot[m]):.6e}"
+                    f"{float(last.Ek[m] + last.Epot[m]):.6e} "
+                    f"{float(last.dipole[m, 0]):.6e} "
+                    f"{float(last.dipole[m, 1]):.6e} "
+                    f"{float(last.dipole[m, 2]):.6e}"
                     for m in molids)
                 print(f"{done:6d} {cols}", flush=True)
-            if dump and done % dump == 0:
+            if dump and (done // dump) > (prev // dump):
+                forces = (state.acc * atom_masses(self.const, species)
+                          / ACC_SCALE)
                 xyz_io.dump_frame(dump_prefix, self.const, species, state,
-                                  last, molids)
-            if self.md_cfg.remove_com and done % self.md_cfg.remove_com == 0:
+                                  last, molids, forces=forces)
+            rc = self.md_cfg.remove_com
+            if rc and (done // rc) > (prev // rc):
                 x, v = zero_com(self.const, species, state.coordinates,
                                 state.velocities)
-                state = dataclasses.replace(state, coordinates=x, velocities=v)
+                if hasattr(state, "base"):  # thermostat wrapper (NHState)
+                    state = dataclasses.replace(
+                        state, base=dataclasses.replace(
+                            state.base, coordinates=x, velocities=v))
+                else:
+                    state = dataclasses.replace(state, coordinates=x,
+                                                velocities=v)
         return state
 
 
@@ -288,8 +321,8 @@ class NoseHooverDynamics(MolecularDynamics):
     CHAIN = 2
 
     def __init__(self, const, tables, seqm_cfg, md_cfg=MDConfig(),
-                 tau: float = 20.0, learned=None):
-        super().__init__(const, tables, seqm_cfg, md_cfg, learned)
+                 tau: float = 20.0, learned=None, timing=None):
+        super().__init__(const, tables, seqm_cfg, md_cfg, learned, timing)
         self.tau = tau  # thermostat time constant (fs)
 
     def initialize(self, species, coordinates, velocities=None, key=None,
@@ -336,7 +369,10 @@ class NoseHooverDynamics(MolecularDynamics):
         base, obs = super().step(species, st.base)
         st = NHState(base=base, vxi=st.vxi, xi=st.xi)
         st = self._nhc_half(species, st, dt)
-        return st, obs
+        # report Ek/T of the *returned* (post-thermostat) velocities, not
+        # the mid-step ones computed inside super().step
+        Ek, T = kinetic_energy(self.const, species, st.base.velocities)
+        return st, obs._replace(Ek=Ek, T=T)
 
 
 @jax.tree_util.register_dataclass
@@ -354,6 +390,10 @@ class NHState:
     @property
     def velocities(self):
         return self.base.velocities
+
+    @property
+    def acc(self):
+        return self.base.acc
 
     @property
     def P(self):

@@ -35,16 +35,17 @@ def geometry_optimize_sd(
     f = _force_fn(const, tables, cfg, species, learned)
     P = init_density(const, make_system(const, species, coordinates))
     Lold = None
+    ferr = eerr = float("inf")
     for i in range(max_evl):
         frc, P, L = f(coordinates, P)
         coordinates = coordinates + alpha * frc
         ferr = float(jnp.max(jnp.abs(frc)))
         eerr = float(jnp.sum(L - Lold) / L.shape[0]) if Lold is not None else float("inf")
+        Lold = L
         if log:
             print(f"{i + 1} {ferr:e} {eerr:e}")
         if ferr <= force_tol:
             break
-        Lold = L
     return coordinates, jnp.asarray(ferr), jnp.asarray(eerr)
 
 
@@ -71,6 +72,7 @@ def geometry_optimize_sd_ls(
 
     P = init_density(const, make_system(const, species, coordinates))
     alphas = jnp.full((species.shape[0],), alpha, dtype=coordinates.dtype)
+    ferr = float("inf")
     for i in range(max_evl):
         frc, P, L = f(coordinates, P)
         trial = alphas[:, None] * candidates[None, :]        # (nmol, 5)

@@ -1,1 +1,1 @@
-from .energy import SEQMConfig, energy, force  # noqa: F401
+from .energy import SEQMConfig, energy, force, hamiltonian  # noqa: F401

@@ -60,6 +60,24 @@ class EnergyOutput(NamedTuple):
     P: jnp.ndarray
     charge: Optional[jnp.ndarray]
     notconverged: jnp.ndarray
+    # Hamiltonian-level outputs (cf. Hamiltonian.forward returning
+    # (F, e, P, Hcore, w, charge, notconverged), basics.py:216-249).
+    # Unused outputs are DCE'd by XLA when energy() runs inside a larger
+    # jit whose result drops them, so exposing these is free for MD loops.
+    F: Optional[jnp.ndarray] = None         # Fock matrix, packed (nmol,4A,4A)
+    Hcore: Optional[jnp.ndarray] = None     # core Hamiltonian, same layout
+    w: Optional[Any] = None                 # two-electron integrals (WPack)
+
+
+class HamiltonianOutput(NamedTuple):
+    """The reference Hamiltonian module's return contract (basics.py:216-249)."""
+    F: jnp.ndarray
+    e: Optional[jnp.ndarray]
+    P: jnp.ndarray
+    Hcore: jnp.ndarray
+    w: Any
+    charge: Optional[jnp.ndarray]
+    notconverged: jnp.ndarray
 
 
 LearnedParams = Union[Mapping[str, jnp.ndarray],
@@ -156,7 +174,26 @@ def _energy_impl(const, tables, cfg, species, coordinates, learned, P0,
         e, v = sym_eig(sys, F, eig_only=True)
         charge = _orbital_charges(sys, v)
     return EnergyOutput(Hf, Etot, Eel, Enuc, Eiso_sum, EnucAB, e, P, charge,
-                        notconverged)
+                        notconverged, F=F, Hcore=H, w=w)
+
+
+def hamiltonian(
+    const: Constants,
+    tables: Mapping[str, jnp.ndarray],
+    cfg: SEQMConfig,
+    species: jnp.ndarray,
+    coordinates: jnp.ndarray,
+    learned: Optional[LearnedParams] = None,
+    P0: Optional[jnp.ndarray] = None,
+    charges: Optional[jnp.ndarray] = None,
+) -> HamiltonianOutput:
+    """SCF-converged Hamiltonian-level quantities (no energy assembly):
+    (F, e, P, Hcore, w, charge, notconverged), matching the reference
+    Hamiltonian.forward (basics.py:216-249)."""
+    out = energy(const, tables, cfg, species, coordinates, learned, P0,
+                 charges)
+    return HamiltonianOutput(out.F, out.e, out.P, out.Hcore, out.w,
+                             out.charge, out.notconverged)
 
 
 def force(

@@ -40,6 +40,28 @@ from .system import System
 SCF_PARAM_NAMES = ("g_ss", "g_pp", "g_sp", "g_p2", "h_sp")
 
 
+class SCFConvergenceError(RuntimeError):
+    """Raised (opt-in) when molecules fail to converge, mirroring the
+    reference's RAISE_ERROR_IF_SCF_FORWARD/BACKWARD_FAILS flags
+    (scf_loop.py:23-27).  Default policy is warn-and-mask."""
+
+
+def _raise_if_any(flag, where: str):
+    """Host callback that raises SCFConvergenceError if any flag is set.
+
+    Surfaces through jit as an XlaRuntimeError wrapping this exception
+    (callbacks are the only way to raise on traced values)."""
+
+    def cb(nc):
+        nc = np.asarray(nc)
+        if nc.any():
+            raise SCFConvergenceError(
+                f"SCF {where} failed for molecules "
+                f"{np.nonzero(nc)[0].tolist()}")
+
+    jax.debug.callback(cb, flag)
+
+
 @dataclasses.dataclass(frozen=True)
 class SCFConfig:
     eps: float = 1.0e-4                 # |dEelec| convergence (eV)
@@ -52,6 +74,13 @@ class SCFConfig:
     backward_max_iter: int = 10
     backward_diverge_min_iter: int = 5
     backward_scan_iters: int = 100      # fixed length for mode 2
+    # iterations per while_loop trip (amortizes ~2 ms/iter TPU dispatch;
+    # 1 = smallest compiled graph, larger = fewer host round-trips)
+    chunk: int = 4
+    # raise instead of warn+mask when molecules fail to converge
+    # (cf. RAISE_ERROR_IF_SCF_FORWARD/BACKWARD_FAILS, scf_loop.py:23-27)
+    raise_on_forward_failure: bool = False
+    raise_on_backward_failure: bool = False
     # fractional occupations across a degenerate Fermi level
     # (cf. diag.CHECK_DEGENERACY, diag.py:7,79-98)
     check_degeneracy: bool = False
@@ -287,9 +316,11 @@ def scf_iterate(
         # chunked while: while_loop iterations carry a large dispatch cost
         # on TPU, so run several masked iterations per convergence check
         # (converged molecules are frozen, extra iterations are no-ops)
-        CHUNK = 4
+        CHUNK = max(1, int(cfg.chunk))
 
         def chunk(st):
+            if CHUNK == 1:
+                return body(st)
             return jax.lax.fori_loop(0, CHUNK, lambda i, s: body(s), st)
 
         st = jax.lax.while_loop(
@@ -361,6 +392,8 @@ def make_scf_apply(cfg: SCFConfig):
 
         # zero gradients of molecules that failed forward or backward
         bad = notconverged | (last_max > cfg.backward_eps) | ~jnp.isfinite(last_max)
+        if cfg.raise_on_backward_failure:
+            _raise_if_any(bad & ~notconverged, "backward")
         keep = ~bad
 
         def mask_mol(x):
@@ -392,6 +425,13 @@ def scf_solve(
     pscf = {k: p[k] for k in SCF_PARAM_NAMES}
     if P0 is None or cfg.backward == 2:
         P0 = init_density(const, sys)
+
+    def policy(result):
+        P, nc = result
+        if cfg.raise_on_forward_failure:
+            _raise_if_any(nc, "forward")
+        return P, nc
+
     if cfg.backward == 0:
         # stop gradients at the *inputs* so the fixed-point loop is never
         # linearized (Hellmann-Feynman: the converged P is a constant;
@@ -399,11 +439,11 @@ def scf_solve(
         # of AD tracing)
         M0, w0, p0, Pi0 = jax.lax.stop_gradient((M, w, pscf, P0))
         P, nc = scf_iterate(sys, M0, w0, p0, Pi0, cfg)
-        return jax.lax.stop_gradient(P), nc
+        return policy((jax.lax.stop_gradient(P), nc))
     if cfg.backward == 1:
-        return make_scf_apply(cfg)(sys, M, w, pscf, P0)
+        return policy(make_scf_apply(cfg)(sys, M, w, pscf, P0))
     if cfg.backward == 2:
         if cfg.converger[0] not in (0, 1):
             raise ValueError("backward mode 2 requires converger (0, alpha) or (1,)")
-        return scf_iterate(sys, M, w, pscf, P0, cfg, differentiable=True)
+        return policy(scf_iterate(sys, M, w, pscf, P0, cfg, differentiable=True))
     raise ValueError(f"unknown backward mode {cfg.backward}")

@@ -95,11 +95,21 @@ def sort_species(species: np.ndarray, coordinates: np.ndarray):
 def validate(species: np.ndarray, charges: Optional[np.ndarray] = None,
              tore: Optional[np.ndarray] = None):
     """Host-side checks mirroring the reference's runtime assertions."""
-    from .constants import _TORE, MAX_Z
+    from .constants import _QN, _TORE, MAX_Z
 
     species = np.asarray(species)
     if (species < 0).any() or (species > MAX_Z).any():
         raise ValueError("unsupported element: atomic numbers must be in [0, 18]")
+    # Row-3 atoms (Na..Ar, principal quantum number 3) have no overlap
+    # integrals (jcall 5/6) here, exactly like the reference, which raises
+    # in diat_overlap.py:71-72; without this check they would silently
+    # produce all-zero resonance blocks and wrong energies.
+    if (np.asarray(_QN)[species] > 2).any():
+        bad = sorted(set(int(z) for z in species[np.asarray(_QN)[species] > 2]))
+        raise ValueError(
+            f"unsupported elements {bad}: only rows 1-2 (H, Li..F) have "
+            "overlap integrals (same limitation as the reference, "
+            "diat_overlap.py:71-72)")
     if not (np.diff(species, axis=1) <= 0).all():
         raise ValueError("atoms must be sorted by descending atomic number "
                          "(use pyseqm_tpu.system.sort_species)")

@@ -36,11 +36,25 @@ def load_state(path: str, like: Any) -> Any:
     """
     d = np.load(path)
     leaves, treedef = jax.tree_util.tree_flatten(like)
+    if "__treedef__" in d:
+        saved_td = json.loads(bytes(d["__treedef__"]).decode())
+        if saved_td != str(treedef):
+            raise ValueError(
+                f"checkpoint structure mismatch:\n  saved:    {saved_td}\n"
+                f"  expected: {treedef}")
     n = len(leaves)
+    n_saved = sum(1 for k in d.files if k.startswith("leaf_"))
+    if n_saved != n:
+        raise ValueError(
+            f"checkpoint has {n_saved} leaves, target structure has {n}")
     loaded = [d[f"leaf_{i}"] for i in range(n)]
     out = []
-    for ref, new in zip(leaves, loaded):
+    for i, (ref, new) in enumerate(zip(leaves, loaded)):
         arr = np.asarray(new)
+        if hasattr(ref, "shape") and arr.shape != tuple(ref.shape):
+            raise ValueError(
+                f"checkpoint leaf {i} shape {arr.shape} != expected "
+                f"{tuple(ref.shape)}")
         if hasattr(ref, "dtype") and arr.dtype != ref.dtype:
             arr = arr.astype(ref.dtype)
         out.append(arr)

@@ -30,13 +30,15 @@ def read_xyz(path: str) -> Tuple[np.ndarray, np.ndarray]:
 
 
 def dump_frame(prefix: str, const, species, state, obs,
-               molids: Sequence[int] = (0,)):
-    """Append one extended-xyz frame per selected molecule:
-    coords, velocities, Mulliken charge per atom."""
+               molids: Sequence[int] = (0,), forces=None):
+    """Append one extended-xyz frame per selected molecule: coords,
+    velocities, forces, Mulliken charge per atom — the reference's full
+    column set (MolecularDynamics.py:300-320)."""
     species = np.asarray(species)
     x = np.asarray(state.coordinates)
     v = np.asarray(state.velocities)
     q = np.asarray(obs.charges)
+    fz = (np.zeros_like(x) if forces is None else np.asarray(forces))
     for mol in molids:
         natom = int((species[mol] > 0).sum())
         with open(f"{prefix}.{mol}.xyz", "a+") as f:
@@ -46,8 +48,10 @@ def dump_frame(prefix: str, const, species, state, obs,
             for a in range(species.shape[1]):
                 z = species[mol, a]
                 if z > 0:
-                    f.write("%2s % .10e % .10e % .10e % .10e % .10e % .10e % .6f\n"
+                    f.write("%2s % .10e % .10e % .10e % .10e % .10e % .10e"
+                            " % .10e % .10e % .10e % .6f\n"
                             % (ELEMENT_LABELS[z].strip(),
                                x[mol, a, 0], x[mol, a, 1], x[mol, a, 2],
                                v[mol, a, 0], v[mol, a, 1], v[mol, a, 2],
+                               fz[mol, a, 0], fz[mol, a, 1], fz[mol, a, 2],
                                q[mol, a]))

@@ -66,14 +66,23 @@ def test_nve_energy_conservation(golden):
 
 
 def test_langevin_and_thermostats(golden):
-    g, const, tables, cfg, species, coords = _setup(golden)
+    g, const, tables, _, species, coords = _setup(golden)
+    # long-run temperature statistics: mean T over the sampled tail must
+    # sit near the 300 K target (a thermostat at 2x target must fail here)
+    cfg = pq.SEQMConfig(method="AM1", scf=SCFConfig(eps=1.0e-6, converger=(2,)))
     md = LangevinDynamics(const, tables, cfg,
-                          MDConfig(timestep=0.5, damp=20.0, temperature=300.0))
+                          MDConfig(timestep=0.5, damp=10.0, temperature=300.0))
     state = md.initialize(species, coords, key=jax.random.PRNGKey(1), Temp=300.0)
-    chunk = md._build_chunk(species, 10)
-    state, obs = chunk(state)
-    assert np.isfinite(np.asarray(obs.T)).all()
+    chunk = md._build_chunk(species, 100)
+    Ts = []
+    for _ in range(6):
+        state, obs = chunk(state)
+        Ts.append(np.asarray(obs.T))
+    T = np.concatenate(Ts[2:], axis=0)  # discard 200-step equilibration
+    assert np.isfinite(T).all()
     assert np.isfinite(np.asarray(state.coordinates)).all()
+    meanT = T.mean()
+    assert abs(meanT - 300.0) < 45.0, f"Langevin mean T {meanT:.1f} K"
 
     # velocity-rescale thermostat drives T toward the target
     md2 = MolecularDynamics(const, tables, cfg,

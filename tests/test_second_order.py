@@ -72,3 +72,37 @@ def test_homo_energy_param_grad(golden):
     d = jnp.asarray(d)
     num = (homo(h * d) - homo(-h * d)) / (2 * h)
     np.testing.assert_allclose(float(jnp.sum(g * d)), float(num), atol=1e-6)
+
+
+def test_hessian_subblock_symmetry_default():
+    """Default-on reduced second-order check (the full-molecule Hessian
+    runs under PYSEQM_TPU_SLOW_TESTS): 9x9 water Hessian through the
+    mode-2 (unrolled) SCF must be symmetric and nonzero, so double
+    backward cannot silently rot.
+
+    Water, not a diatomic: HF/N2-style diatomics have *exactly* degenerate
+    occupied pi lone pairs, and differentiating eigh across an occ-occ
+    degeneracy divides by the ~1e-10 numerical splitting -> 1e10 garbage
+    (observed).  Water's occupied gaps are >2.7 eV."""
+    const = pq.make_constants(dtype=jnp.float64)
+    tables = pq.load_element_tables("AM1", dtype=jnp.float64)
+    species = jnp.asarray([[8, 1, 1]], dtype=jnp.int32)
+    coords = jnp.asarray([[[0.0, 0.0, 0.0],
+                           [0.96, 0.07, 0.02],
+                           [-0.22, 0.93, -0.05]]], jnp.float64)
+    cfg = pq.SEQMConfig(
+        method="AM1",
+        scf=SCFConfig(eps=1.0e-11, converger=(0, 0.0), backward=2,
+                      backward_scan_iters=30))
+
+    out = pq.energy(const, tables, cfg, species, coords)
+    assert not bool(np.asarray(out.notconverged)[0])
+
+    def hf(c):
+        return jnp.sum(pq.energy(const, tables, cfg, species, c).Hf)
+
+    H = jax.jit(jax.jacfwd(jax.grad(hf)))(coords)
+    H = np.asarray(H).reshape(9, 9)
+    assert np.abs(H).max() > 1.0  # bonded molecule has stiff modes
+    asym = np.abs(H - H.T).max()
+    assert asym < 1e-8 * np.abs(H).max(), f"Hessian asymmetry {asym}"
