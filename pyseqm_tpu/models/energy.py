@@ -19,7 +19,8 @@ import jax.numpy as jnp
 
 from ..constants import EV, Constants, make_constants
 from ..ops.density import orbital_permutation, sym_eig
-from ..ops.energy import (elec_energy, elec_energy_isolated_atom,
+from ..ops.energy import (assemble_energies, elec_energy,  # noqa: F401
+                          elec_energy_isolated_atom, elec_energy_tf,
                           heat_formation, pair_nuclear_energy, total_energy)
 from ..ops.fock import fock
 from ..ops.hcore import hcore
@@ -164,10 +165,10 @@ def _energy_impl(const, tables, cfg, species, coordinates, learned, P0,
     else:
         gam = w.ri[..., 0]  # (s_i s_i | s_j s_j)
     EnucAB = pair_nuclear_energy(const, sys, gam, cfg.method, p)
-    Eel = elec_energy(P, F, H)
-    Etot, Enuc = total_energy(EnucAB, Eel)
     Eiso = elec_energy_isolated_atom(const, sys.species, p)
-    Hf, Eiso_sum = heat_formation(const, sys, Etot, Eiso, cfg.hf_flag)
+    # compensated assembly: Hf is a ~2 eV difference of ~1e3 eV terms
+    Hf, Etot, Eel, Enuc, Eiso_sum = assemble_energies(
+        const, sys, elec_energy_tf(P, F, H), EnucAB, Eiso, cfg.hf_flag)
 
     e = charge = None
     if cfg.eig:

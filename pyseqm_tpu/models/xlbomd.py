@@ -14,7 +14,8 @@ import jax.numpy as jnp
 
 from ..constants import Constants
 from ..ops.density import sp2, sym_eig
-from ..ops.energy import (elec_energy_isolated_atom, elec_energy_xl,
+from ..ops.energy import (assemble_energies, elec_energy_isolated_atom,
+                          elec_energy_xl, elec_energy_xl_tf,  # noqa: F401
                           heat_formation, pair_nuclear_energy, total_energy)
 from ..ops.fock import fock
 from ..ops.hcore import hcore
@@ -79,10 +80,10 @@ def _energy_xl_impl(const, tables, cfg, species, coordinates, P, learned,
     gam = (w.rig[:, sys.pair_i, sys.pair_j, 0] if hasattr(w, "rig")
            else w.ri[..., 0])
     EnucAB = pair_nuclear_energy(const, sys, gam, cfg.method, p)
-    Eelec = elec_energy_xl(D, P, F, H)
-    Etot, Enuc = total_energy(EnucAB, Eelec)
     Eiso = elec_energy_isolated_atom(const, sys.species, p)
-    Hf, Eiso_sum = heat_formation(const, sys, Etot, Eiso, cfg.hf_flag)
+    # compensated assembly (see ops/xsum.py): Hf cancellation stays exact
+    Hf, Etot, Eelec, Enuc, Eiso_sum = assemble_energies(
+        const, sys, elec_energy_xl_tf(D, P, F, H), EnucAB, Eiso, cfg.hf_flag)
     return XLEnergyOutput(Hf, Etot, Eelec, Enuc, Eiso_sum, EnucAB, D)
 
 

@@ -100,7 +100,13 @@ def sym_eig(sys: System, F: jnp.ndarray, eig_only: bool = False,
     h1, hN = _gershgorin(Fp)
     Fp = _fill_padding_diag(Fp, sys.norb, h1, hN)
 
-    e0, v = jnp.linalg.eigh(Fp)
+    from . import eigh_pallas
+    if eigh_pallas.supported(F.shape[-1], F.dtype):
+        # batched one-sided Jacobi kernel: ~481 ms -> few-ms class at
+        # (10240, 32, 32); differentiable via its custom_jvp
+        e0, v = eigh_pallas.eigh_batched(Fp)
+    else:
+        e0, v = jnp.linalg.eigh(Fp)
     n = F.shape[-1]
     idx = jnp.arange(n)
     e = jnp.where(idx[None, :] < sys.norb[:, None], e0, 0.0)
@@ -135,7 +141,10 @@ def sp2(sys: System, F: jnp.ndarray, eps: float = 1.0e-4) -> jnp.ndarray:
     """
     dtype = F.dtype
     f32 = dtype == jnp.float32
+    eps_kernel = max(eps, 1.0e-5)   # pallas kernel: exact-f32 dots
     if f32:
+        # XLA fallback floor: its dots ride the caller's matmul-precision
+        # context; 1e-2 is the safe bound under default bf16 matmuls
         eps = max(eps, 1.0e-2)
     else:
         eps = min(max(eps, 1.0e-7), 1.0e-3)
@@ -156,7 +165,7 @@ def sp2(sys: System, F: jnp.ndarray, eps: float = 1.0e-4) -> jnp.ndarray:
     from . import sp2_pallas
     if sp2_pallas.supported(n, dtype):
         # VMEM-resident purification kernel (one HBM round-trip total)
-        Pp = sp2_pallas.sp2_purify_tpu(a0, noccd, eps)
+        Pp = sp2_pallas.sp2_purify_tpu(a0, noccd, eps_kernel)
         P = permute_mat(Pp, inv)
         m = orbital_mask(sys).astype(dtype)
         return P * m[:, :, None] * m[:, None, :]

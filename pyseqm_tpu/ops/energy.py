@@ -12,11 +12,19 @@ import jax.numpy as jnp
 
 from ..constants import A0, Constants
 from ..system import System
+from .accmath import exp as _exp
+from .xsum import TwoFloat, csum, csum2, tf_add, tf_neg, tf_scale
 
 
 def elec_energy(P, F, Hcore):
     """Eelec = 0.5 sum P o (Hcore + F); all matrices full-symmetric (eV)."""
     return 0.5 * jnp.sum(P * (Hcore + F), axis=(1, 2))
+
+
+def elec_energy_tf(P, F, Hcore) -> TwoFloat:
+    """Compensated Eelec (see xsum.py): the ~1000 eV trace-product is kept
+    as an f32 (hi, lo) pair so heat_formation's cancellation is exact."""
+    return tf_scale(csum2(P * (Hcore + F)), 0.5)
 
 
 def elec_energy_xl(D, P, F, Hcore):
@@ -25,6 +33,10 @@ def elec_energy_xl(D, P, F, Hcore):
     cf. seqm/XLBOMD.py:40-52.
     """
     return jnp.sum(D * F - 0.5 * (F - Hcore) * P, axis=(1, 2))
+
+
+def elec_energy_xl_tf(D, P, F, Hcore) -> TwoFloat:
+    return csum2(D * F - 0.5 * (F - Hcore) * P)
 
 
 def elec_energy_isolated_atom(const: Constants, Z, p: Dict[str, jnp.ndarray]):
@@ -51,8 +63,8 @@ def pair_nuclear_energy(const: Constants, sys: System, gam, method: str,
     t1 = tore_i * tore_j * gam
     # N-H / O-H special case: the i-side exponential gains a factor r
     xh = ((sys.zi == 7) | (sys.zi == 8)) & (sys.zj == 1)
-    t2 = jnp.exp(-alpha_i * rija) * jnp.where(xh, rija, 1.0)
-    t3 = jnp.exp(-alpha_j * rija)
+    t2 = _exp(-alpha_i * rija) * jnp.where(xh, rija, 1.0)
+    t3 = _exp(-alpha_j * rija)
     enuc = t1 * (1.0 + t2 + t3)
 
     if method != "MNDO":
@@ -61,8 +73,8 @@ def pair_nuclear_energy(const: Constants, sys: System, gam, method: str,
         L = jnp.stack([p[f"Gaussian{g+1}_L"] for g in range(ng)], axis=-1)
         Mg = jnp.stack([p[f"Gaussian{g+1}_M"] for g in range(ng)], axis=-1)
         r = rija[..., None]
-        t5 = jnp.sum(K[:, iu] * jnp.exp(-L[:, iu] * (r - Mg[:, iu]) ** 2), axis=-1)
-        t6 = jnp.sum(K[:, ju] * jnp.exp(-L[:, ju] * (r - Mg[:, ju]) ** 2), axis=-1)
+        t5 = jnp.sum(K[:, iu] * _exp(-L[:, iu] * (r - Mg[:, iu]) ** 2), axis=-1)
+        t6 = jnp.sum(K[:, ju] * _exp(-L[:, ju] * (r - Mg[:, ju]) ** 2), axis=-1)
         enuc = enuc + tore_i * tore_j / rija * (t5 + t6)
 
     return jnp.where(sys.pair_mask, enuc, 0.0)
@@ -81,3 +93,26 @@ def heat_formation(const: Constants, sys: System, Etot, Eiso, hf_flag=True):
         eheat_sum = jnp.sum(jnp.where(m, const.eheat[sys.species], 0.0), axis=-1)
         return Etot - Eiso_sum + eheat_sum, Eiso_sum
     return Etot - Eiso_sum, Eiso_sum
+
+
+def assemble_energies(const: Constants, sys: System, Eelec_tf: TwoFloat,
+                      EnucAB, Eiso, hf_flag=True):
+    """Hf / Etot / Enuc / Eiso_sum with every large accumulation and the
+    Etot - Eiso cancellation carried as compensated f32 pairs (xsum.py).
+
+    Hf is a ~2 eV difference of ~1e3 eV terms; assembling it through
+    rounded f32 scalars costs ~1e-4 eV per rounding (the f32 quantum at
+    1e3), which dominated the TPU-f32 error budget.  Returns plain arrays
+    (the *outputs* are small or reported quantities; only the internal
+    combination needs the extended precision).
+    """
+    m = sys.atom_mask
+    Enuc_tf = csum(jnp.where(sys.pair_mask, EnucAB, 0.0))
+    Eiso_tf = csum(jnp.where(m, Eiso, 0.0))
+    Etot_tf = tf_add(Eelec_tf, Enuc_tf)
+    Hf_tf = tf_add(Etot_tf, tf_neg(Eiso_tf))
+    if hf_flag:
+        eheat_tf = csum(jnp.where(m, const.eheat[sys.species], 0.0))
+        Hf_tf = tf_add(Hf_tf, eheat_tf)
+    return (Hf_tf.value(), Etot_tf.value(), Eelec_tf.value(),
+            Enuc_tf.value(), Eiso_tf.value())

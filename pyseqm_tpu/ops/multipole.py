@@ -30,9 +30,22 @@ def dd_qq(qn, zs, zp):
     """Dipole (dd) and quadrupole (qq) charge separations from zeta_s/zeta_p.
 
     qn: principal quantum number (float); zs, zp > 0 (caller masks H/padding).
+
+    The float-exponent powers are expanded into integer powers + sqrt: XLA
+    lowers f32 `pow` on TPU through the ~50-ulp hardware exp/log (see
+    accmath.py), and dd feeds every multipole integral.  Supported rows
+    have qn in {1, 2} (validate() enforces this).
     """
-    dd = ((2.0 * qn + 1.0) * (4.0 * zs * zp) ** (qn + 0.5)
-          / (zs + zp) ** (2.0 * qn + 2.0) / jnp.sqrt(jnp.asarray(3.0, zs.dtype)))
+    v = 4.0 * zs * zp
+    w = zs + zp
+    is1 = qn < 1.5
+    # v^(qn+0.5): qn=1 -> v*sqrt(v);  qn=2 -> v^2*sqrt(v)
+    v_pow = jnp.where(is1, v, v * v) * jnp.sqrt(v)
+    # w^(2qn+2):  qn=1 -> w^4;        qn=2 -> w^6
+    w2 = w * w
+    w_pow = jnp.where(is1, w2 * w2, w2 * w2 * w2)
+    dd = ((2.0 * qn + 1.0) * v_pow / w_pow
+          / jnp.sqrt(jnp.asarray(3.0, zs.dtype)))
     qq = jnp.sqrt((4.0 * qn ** 2 + 6.0 * qn + 2.0) / 20.0) / zp
     return dd, qq
 
@@ -85,7 +98,8 @@ def _rho1_bwd(res, g):
     # hsp(a.u.) = 1/(4 rho1) - 1/(4 sqrt(D1^2 + rho1^2))
     rho1, D1, mask = res
     r = jnp.where(mask, rho1, 1.0)
-    tmp = (D1 ** 2 + r ** 2) ** 1.5
+    t = D1 ** 2 + r ** 2
+    tmp = t * jnp.sqrt(t)
     g_hsp = 4.0 / (r / tmp - 1.0 / r ** 2) * g / EV
     g_d1 = g / (tmp / r ** 2 / D1 - r / D1)
     z = jnp.zeros_like(g)
@@ -126,8 +140,10 @@ def _rho2_bwd(res, g):
     # hpp(a.u.) = 1/(8 rho2) - 1/(4 sqrt(D2^2+rho2^2)) + 1/(8 sqrt(2 D2^2+rho2^2))
     rho2, D2, mask = res
     r = jnp.where(mask, rho2, 1.0)
-    tmp1 = 1.0 / (D2 ** 2 + r ** 2) ** 1.5
-    tmp2 = 1.0 / (2.0 * D2 ** 2 + r ** 2) ** 1.5
+    t1 = D2 ** 2 + r ** 2
+    t2 = 2.0 * D2 ** 2 + r ** 2
+    tmp1 = 1.0 / (t1 * jnp.sqrt(t1))
+    tmp2 = 1.0 / (t2 * jnp.sqrt(t2))
     dhdr = -0.125 / r ** 2 + r * (tmp1 / 4.0 - tmp2 / 8.0)
     g_hpp = g / dhdr / EV
     g_d2 = -(D2 / 4.0 * (tmp1 - tmp2)) * g / dhdr

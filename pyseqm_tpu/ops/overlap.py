@@ -23,7 +23,20 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from .accmath import exp as _exp
+
 SQRT3 = 1.7320508075688772
+
+
+def _p15(x):
+    """x**1.5 without XLA pow (TPU pow routes through ~50-ulp exp/log)."""
+    return x * jnp.sqrt(x)
+
+
+def _p25(x):
+    """x**2.5 without XLA pow."""
+    return x * x * jnp.sqrt(x)
+
 
 
 def a_integrals(x0):
@@ -34,7 +47,7 @@ def a_integrals(x0):
     """
     inf = jnp.asarray(jnp.inf, dtype=x0.dtype)
     x = jnp.where(x0 != 0.0, x0, inf)
-    a1 = jnp.exp(-x) / x
+    a1 = _exp(-x) / x
     a2 = a1 + a1 / x
     a3 = a1 + 2.0 * a2 / x
     a4 = a1 + 3.0 * a3 / x
@@ -61,8 +74,8 @@ def b_integrals(x0):
     # clamp only touches values that get masked downstream — without it,
     # their inf intermediates turn zero VJP cotangents into NaN.
     xs = jnp.clip(jnp.where(exact, x0, jnp.asarray(1.0, dtype)), -85.0, 85.0)
-    tx = jnp.exp(xs) / xs
-    tmx = -jnp.exp(-xs) / xs
+    tx = _exp(xs) / xs
+    tmx = -_exp(-xs) / xs
     e1 = tx + tmx
     e2 = -tx + tmx + e1 / xs
     e3 = tx + tmx + 2.0 * e2 / xs
@@ -120,11 +133,11 @@ def diatom_overlap(qni, qnj, xij, rij, zeta_i, zeta_j):
 
     # --- s(i)-s(j) ---
     A, B = _ab(rij, zsi, zsj)
-    s111_2 = jnp.power(zsi * zsj * r2, 1.5) * (A[..., 2] * B[..., 0] - B[..., 2] * A[..., 0]) / 4.0
-    s111_3 = (jnp.power(zsj, 1.5) * jnp.power(zsi, 2.5) * r4
+    s111_2 = _p15(zsi * zsj * r2) * (A[..., 2] * B[..., 0] - B[..., 2] * A[..., 0]) / 4.0
+    s111_3 = (_p15(zsj) * _p25(zsi) * r4
               * (A[..., 3] * B[..., 0] - B[..., 3] * A[..., 0]
                  + A[..., 2] * B[..., 1] - B[..., 2] * A[..., 1]) / (SQRT3 * 8.0))
-    s111_4 = (jnp.power(zsj * zsi, 2.5) * r5
+    s111_4 = (_p25(zsj * zsi) * r5
               * (A[..., 4] * B[..., 0] + B[..., 4] * A[..., 0]
                  - 2.0 * A[..., 2] * B[..., 2]) / 48.0)
     S111 = jnp.where(jcall2, s111_2, jnp.where(jcall3, s111_3,
@@ -132,10 +145,10 @@ def diatom_overlap(qni, qnj, xij, rij, zeta_i, zeta_j):
 
     # --- p_sigma(i)-s(j) ---
     A, B = _ab(rij, zpi, zsj)
-    s211_3 = (jnp.power(zsj, 1.5) * jnp.power(zpi, 2.5) * r4
+    s211_3 = (_p15(zsj) * _p25(zpi) * r4
               * (A[..., 2] * B[..., 0] - B[..., 2] * A[..., 0]
                  + A[..., 3] * B[..., 1] - B[..., 3] * A[..., 1]) / 8.0)
-    s211_4 = (jnp.power(zsj * zpi, 2.5) * r5
+    s211_4 = (_p25(zsj * zpi) * r5
               * (A[..., 3] * (B[..., 0] - B[..., 2])
                  - A[..., 1] * (B[..., 2] - B[..., 4])
                  + B[..., 3] * (A[..., 0] - A[..., 2])
@@ -144,7 +157,7 @@ def diatom_overlap(qni, qnj, xij, rij, zeta_i, zeta_j):
 
     # --- s(i)-p_sigma(j) ---
     A, B = _ab(rij, zsi, zpj)
-    s121_4 = (jnp.power(zpj * zsi, 2.5) * r5
+    s121_4 = (_p25(zpj * zsi) * r5
               * (A[..., 3] * (B[..., 0] - B[..., 2])
                  - A[..., 1] * (B[..., 2] - B[..., 4])
                  - B[..., 3] * (A[..., 0] - A[..., 2])
@@ -153,7 +166,7 @@ def diatom_overlap(qni, qnj, xij, rij, zeta_i, zeta_j):
 
     # --- p(i)-p(j) ---
     A, B = _ab(rij, zpi, zpj)
-    wf = jnp.power(zpj * zpi, 2.5) * r5 / 16.0
+    wf = _p25(zpj * zpi) * r5 / 16.0
     s221_4 = -wf * (B[..., 2] * (A[..., 4] + A[..., 0]) - A[..., 2] * (B[..., 4] + B[..., 0]))
     s222_4 = 0.5 * wf * (A[..., 4] * (B[..., 0] - B[..., 2])
                          - B[..., 4] * (A[..., 0] - A[..., 2])

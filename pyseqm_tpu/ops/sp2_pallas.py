@@ -3,18 +3,37 @@
 The XLA formulation of SP2 (ops/density.py) round-trips the (B, n, n)
 density iterate through HBM every iteration and hits a fusion pathology
 when the trace-steering predicate mixes reductions; this kernel keeps the
-whole iteration in VMEM:
+whole iteration in VMEM.
 
-* Each grid program packs m = 128 // n molecules **block-diagonally** into
-  one 128x128 tile, so every SP2 iteration is a single full-size MXU
-  matmul (block-diag x block-diag = block-diag, exactly).
-* Pack/unpack are expressed as matmuls with constant placement matrices
-  (A = sum_i P_i^T a_i P_i) and every per-molecule scalar lives in a
-  row-space (128, 1) vector — Mosaic supports dots, elementwise ops,
-  iota and SMEM scalar reads, but not small-vector concats/bools.
-* The trace-correction branch choice, per-molecule convergence masks and
-  the f32 no-improvement stopping rule (cf. reference SP2.py:11-70) are
-  arithmetic lerps on those row vectors.
+Packing (v3): molecules are stacked side by side in horizontal panels
+X_k (n, TILE), columns [i*n:(i+1)*n] = A_i, and each grid program owns K
+such panels (a (K*n, TILE) block).  For symmetric blocks, one transposed
+MXU pass per panel yields every squared block:
+
+    B    = X^T @ X              # (TILE, TILE): B[ni+r, nj+c] = (A_i A_j)[r, c]
+    A2   = sum_i B[i*n:(i+1)*n, :] * [col in block i]     # exact, VPU only
+
+i.e. the diagonal blocks of B are *copied out* with static sublane slices
+and column masks — no second matmul, no pack/unpack placement matmuls
+(the panel layout is a pure XLA-side reshape).  Compared with the v1
+block-diagonal packing this does 2x less MXU work and K panels per
+program amortize MXU/loop latency (the grid would otherwise be thousands
+of microscopic sequential programs).
+
+Numerics: Mosaic lowers f32 `dot` at DEFAULT precision to a *single*
+bf16 MXU pass on this hardware (measured 9e-2 abs error on unit-scale
+data) — every X-carrying dot here pins precision=HIGHEST (6-pass, ~1e-5).
+The VPU extraction path and the X*X column sums are exact f32, so only
+the X^T X products and the tiny per-molecule segment-sum dots touch the
+MXU at all.
+
+Per-molecule scalars (traces, convergence state) live in (K, TILE)
+column-space rows — segment sums over a molecule's panel are one
+(K,TILE) @ S matvec with the constant same-molecule mask S.  The
+trace-correction branch, per-molecule convergence masks and the f32
+no-improvement stopping rule (cf. reference SP2.py:11-70) are arithmetic
+lerps on those rows (Mosaic supports dots/elementwise/iota but not
+small-vector concats or bools).
 
 Supports n = 4*molsize <= 128 and float32 (the TPU production dtype);
 callers fall back to the XLA path otherwise.
@@ -30,120 +49,191 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 TILE = 128
+KPANEL = 32         # panels per grid program (measured best of 8/32)
 MAX_ITER = 100
+# NB: Mosaic supports only DEFAULT (single bf16 pass) and HIGHEST (6-pass)
+# dot precisions; HIGH raises NotImplementedError
+_HI = jax.lax.Precision.HIGHEST
 
 
-def _sp2_kernel(n: int, m: int, eps: float, nocc_ref, a_ref, out_ref):
-    """One program: m molecules of n x n, packed block-diagonally."""
-    dtype = a_ref.dtype
+def _sp2_kernel(n: int, m: int, K: int, eps: float, nocc_ref, x_ref, out_ref):
+    """One program: K panels of m molecules (n x n each), (K*n, TILE)."""
+    dtype = x_ref.dtype
     g = pl.program_id(0)
 
-    # constant placement matrices: P_i (n, TILE) with I_n at lane offset i*n
-    r_idx = jax.lax.broadcasted_iota(jnp.int32, (n, TILE), 0)
-    c_idx = jax.lax.broadcasted_iota(jnp.int32, (n, TILE), 1)
-    row_mol = jax.lax.broadcasted_iota(jnp.int32, (TILE, 1), 0) // n
-    valid_row = jnp.where(row_mol < m, 1.0, 0.0).astype(dtype)
+    # column-space constants
+    col_mol = jax.lax.broadcasted_iota(jnp.int32, (1, TILE), 1) // n  # (1,T)
+    valid_col = jnp.where(col_mol < m, 1.0, 0.0).astype(dtype)
+    # same-molecule column mask (TILE, TILE): segment sums as one matvec
+    cm_r = jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 0) // n
+    cm_c = jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 1) // n
+    S = jnp.where(cm_r == cm_c, 1.0, 0.0).astype(dtype)
+    # horizontally tiled identity: diagonal positions of each molecule
+    eh_r = jax.lax.broadcasted_iota(jnp.int32, (n, TILE), 0)
+    eh_c = jax.lax.broadcasted_iota(jnp.int32, (n, TILE), 1)
+    Eh = jnp.where(eh_c % n == eh_r, 1.0, 0.0).astype(dtype)
+    Dmask = Eh * valid_col
+    blockmask = [
+        jnp.where(col_mol == i, 1.0, 0.0).astype(dtype) for i in range(m)
+    ]  # m x (1, TILE)
 
-    def placement(i):
-        return jnp.where(c_idx == r_idx + i * n, 1.0, 0.0).astype(dtype)
+    def seg_cols(rows):
+        """(K,TILE) per-column values -> per-molecule sums, per column.
 
-    # pack: A = sum_i P_i^T a_i P_i  (pure dots, no slicing/concat)
-    A = jnp.zeros((TILE, TILE), dtype=dtype)
-    for i in range(m):
-        Pi = placement(i)
-        A = A + jnp.dot(Pi.T, jnp.dot(a_ref[i], Pi,
-                                      preferred_element_type=jnp.float32),
-                        preferred_element_type=jnp.float32)
+        S is 0/1 so a single-pass bf16 product would *round the data*;
+        HIGHEST keeps the segment sums exact to f32.
+        """
+        return jax.lax.dot(rows, S, precision=_HI,
+                           preferred_element_type=jnp.float32)
 
-    # per-row nocc from scalar prefetch
-    nocc_rows = jnp.zeros((TILE, 1), dtype=dtype)
-    for i in range(m):
-        sc = nocc_ref[g * m + i]
-        nocc_rows = nocc_rows + jnp.where(row_mol == i, sc, 0.0).astype(dtype)
+    # per-column nocc from scalar prefetch: rows (K, TILE)
+    noccc = jnp.zeros((K, TILE), dtype=dtype)
+    kcol = jax.lax.broadcasted_iota(jnp.int32, (K, TILE), 0)
+    for k in range(K):
+        for i in range(m):
+            sc = nocc_ref[(g * K + k) * m + i]
+            noccc = noccc + jnp.where((kcol == k) & (col_mol == i),
+                                      sc, 0.0).astype(dtype)
 
-    # same-molecule row mask for broadcasting per-molecule sums to rows
-    rm_r = jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 0) // n
-    rm_c = jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 1) // n
-    S = jnp.where(rm_r == rm_c, 1.0, 0.0).astype(dtype)
+    X = x_ref[0] * valid_col  # (K*n, TILE); padding columns zeroed
 
-    def seg_rows(col):
-        """(TILE,1) per-row values -> (TILE,1) per-molecule sums, by row."""
-        return jnp.dot(S, col, preferred_element_type=jnp.float32)
+    def diag_rows(X):
+        """(K, TILE) diagonal entry of each column's molecule."""
+        d = X * jnp.concatenate([Dmask] * K, axis=0) if K > 1 else X * Dmask
+        # per-panel column sums of the masked diagonal
+        return sum_panels(d)
 
-    eye = jnp.eye(TILE, dtype=dtype)
-    tr = seg_rows(jnp.sum(A * eye, axis=1, keepdims=True))
-    e0 = jnp.abs(tr - nocc_rows)
-    notconv = valid_row
+    def sum_panels(V):
+        """(K*n, TILE) -> (K, TILE) column sums within each panel."""
+        parts = [jnp.sum(V[k * n:(k + 1) * n], axis=0, keepdims=True)
+                 for k in range(K)]
+        return jnp.concatenate(parts, axis=0) if K > 1 else parts[0]
+
+    tr = seg_cols(diag_rows(X))
+    e0 = jnp.abs(tr - noccc)
+    notconv = jnp.ones((K, TILE), dtype=dtype) * valid_col
 
     def cond(carry):
         _, _, _, _, _, notconv, k = carry
         return (jnp.max(notconv) > 0.0) & (k < MAX_ITER)
 
     def body(carry):
-        A, tr, errm0, errm1, errm2, notconv, k = carry
-        A2 = jnp.dot(A, A, preferred_element_type=jnp.float32)
-        # block-diagonal + symmetric => per-molecule tr(A^2) equals the
-        # squared Frobenius norm of that molecule's rows
-        tr2 = seg_rows(jnp.sum(A * A, axis=1, keepdims=True))
-        take = jnp.where(jnp.abs(tr2 - nocc_rows)
-                         < jnp.abs(2.0 * tr - tr2 - nocc_rows),
+        X, tr, errm0, errm1, errm2, notconv, it = carry
+        # squared blocks: one transposed MXU pass per panel, then exact
+        # VPU extraction of B's diagonal blocks
+        a2_panels = []
+        for k in range(K):
+            Xk = X[k * n:(k + 1) * n]
+            Bk = jax.lax.dot_general(Xk, Xk, (((0,), (0,)), ((), ())),
+                                     precision=_HI,
+                                     preferred_element_type=jnp.float32)
+            A2k = blockmask[0] * Bk[0:n]
+            for i in range(1, m):
+                A2k = A2k + blockmask[i] * Bk[i * n:(i + 1) * n]
+            a2_panels.append(A2k)
+        A2 = (jnp.concatenate(a2_panels, axis=0) if K > 1 else a2_panels[0])
+        # tr(A^2) per molecule = squared Frobenius norm of its panel slice
+        tr2 = seg_cols(sum_panels(X * X))
+        take = jnp.where(jnp.abs(tr2 - noccc)
+                         < jnp.abs(2.0 * tr - tr2 - noccc),
                          1.0, 0.0).astype(dtype)
-        # both branches are A +- (A^2 - A): one fused full-tile update
+        # both branches are X +- (A2 - X): one fused panel update; the
+        # (K,TILE) steering rows broadcast onto (K*n,TILE) via repeat
         s = notconv * (2.0 * take - 1.0)
-        A = A + s * (A2 - A)
+        s_full = jnp.repeat(s, n, axis=0)
+        X = X + s_full * (A2 - X)
         tr_new = take * tr2 + (1.0 - take) * (2.0 * tr - tr2)
         tr = tr + notconv * (tr_new - tr)
-        e0 = errm0 + notconv * (jnp.abs(tr - nocc_rows) - errm0)
+        e0 = errm0 + notconv * (jnp.abs(tr - noccc) - errm0)
         e1 = errm1 + notconv * (errm0 - errm1)
         e2 = errm2 + notconv * (errm1 - errm2)
         # f32 no-improvement rule: done = (e0 < eps) and not (e0 < e2)
         lt_eps = jnp.where(e0 < eps, 1.0, 0.0).astype(dtype)
         lt_e2 = jnp.where(e0 < e2, 1.0, 0.0).astype(dtype)
         notconv = notconv * (1.0 - lt_eps * (1.0 - lt_e2))
-        return A, tr, e0, e1, e2, notconv, k + 1
+        return X, tr, e0, e1, e2, notconv, it + 1
 
-    A, *_ = jax.lax.while_loop(
-        cond, body, (A, tr, e0, e0, e0, notconv, jnp.asarray(0)))
+    X, *_ = jax.lax.while_loop(
+        cond, body, (X, tr, e0, e0, e0, notconv, jnp.asarray(0)))
 
-    # unpack: a_i = P_i A P_i^T
-    for i in range(m):
-        Pi = placement(i)
-        out_ref[i] = 2.0 * jnp.dot(
-            jnp.dot(Pi, A, preferred_element_type=jnp.float32), Pi.T,
-            preferred_element_type=jnp.float32)
+    # McWeeny polish: SP2's linear phase doubles injected rounding noise
+    # every iteration (lambda -> 2 lambda until the quadratic clamp), so
+    # the converged iterate carries ~2^k-amplified dot noise (~2e-3
+    # measured).  One 3X^2 - 2X^3 step is contractive around idempotency
+    # (delta -> 3 delta^2), collapsing that to ~1e-5 for the gradients'
+    # sake; energies are variational and already quadratic in the error.
+    polish = []
+    for k in range(K):
+        Xk = X[k * n:(k + 1) * n]
+        Bk = jax.lax.dot_general(Xk, Xk, (((0,), (0,)), ((), ())),
+                                 precision=_HI,
+                                 preferred_element_type=jnp.float32)
+        A2k = blockmask[0] * Bk[0:n]
+        for i in range(1, m):
+            A2k = A2k + blockmask[i] * Bk[i * n:(i + 1) * n]
+        B3k = jax.lax.dot_general(Xk, A2k, (((0,), (0,)), ((), ())),
+                                  precision=_HI,
+                                  preferred_element_type=jnp.float32)
+        A3k = blockmask[0] * B3k[0:n]
+        for i in range(1, m):
+            A3k = A3k + blockmask[i] * B3k[i * n:(i + 1) * n]
+        polish.append(3.0 * A2k - 2.0 * A3k)
+    X = jnp.concatenate(polish, axis=0) if K > 1 else polish[0]
+    out_ref[0] = 2.0 * X
 
 
-@functools.partial(jax.jit, static_argnames=("eps",))
-def sp2_purify_tpu(a0: jnp.ndarray, nocc: jnp.ndarray, eps: float = 1.0e-2):
+@functools.partial(jax.jit, static_argnames=("eps", "interpret"))
+def sp2_purify_tpu(a0: jnp.ndarray, nocc: jnp.ndarray, eps: float = 1.0e-2,
+                   interpret: bool = False):
     """P = 2 * purify(a0) for a batch of pre-scaled iterates.
 
     a0: (B, n, n) float32, n <= 128; nocc: (B,) float occupied counts.
+    ``interpret`` runs the kernel in Pallas interpret mode (any backend) —
+    used by the CPU test suite for exact-math parity checks.
     """
     B, n, _ = a0.shape
     m = TILE // n
-    pad = (-B) % m
+    per_prog = m * KPANEL
+    pad = (-B) % per_prog
     if pad:
         a0 = jnp.concatenate(
             [a0, jnp.zeros((pad, n, n), a0.dtype)], axis=0)
         nocc = jnp.concatenate([nocc, jnp.zeros((pad,), nocc.dtype)])
-    G = a0.shape[0] // m
+    G = a0.shape[0] // per_prog
+
+    # horizontal panel stacking: (G, K, m, n, n) -> (G, K*n, m*n)
+    X = (a0.reshape(G, KPANEL, m, n, n)
+           .transpose(0, 1, 3, 2, 4)
+           .reshape(G, KPANEL * n, m * n))
+    if m * n < TILE:
+        X = jnp.pad(X, ((0, 0), (0, 0), (0, TILE - m * n)))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(G,),
         in_specs=[
-            pl.BlockSpec((m, n, n), lambda g, *_: (g, 0, 0),
+            pl.BlockSpec((1, KPANEL * n, TILE), lambda g, *_: (g, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((m, n, n), lambda g, *_: (g, 0, 0),
+        out_specs=pl.BlockSpec((1, KPANEL * n, TILE), lambda g, *_: (g, 0, 0),
                                memory_space=pltpu.VMEM),
     )
     out = pl.pallas_call(
-        functools.partial(_sp2_kernel, n, m, float(max(eps, 1.0e-2))),
+        # eps floor 1e-5: the HIGHEST-precision dots put the f32 trace
+        # noise floor near 1e-6 (measured) — the 1e-2 floor documented for
+        # the v1 kernel was an artifact of Mosaic's single-pass-bf16
+        # default dots, not of f32 SP2 itself
+        functools.partial(_sp2_kernel, n, m, KPANEL, float(max(eps, 1.0e-5))),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(a0.shape, a0.dtype),
-    )(nocc.astype(a0.dtype), a0)
-    return out[:B]
+        out_shape=jax.ShapeDtypeStruct(X.shape, X.dtype),
+        interpret=interpret,
+    )(nocc.astype(a0.dtype), X)
+
+    P = (out[:, :, :m * n]
+         .reshape(G, KPANEL, n, m, n)
+         .transpose(0, 1, 3, 2, 4)
+         .reshape(G * per_prog, n, n))
+    return P[:B]
 
 
 def supported(n: int, dtype) -> bool:

@@ -1,0 +1,106 @@
+"""Pallas kernel math parity (interpret mode, CPU).
+
+The production kernels (ops/sp2_pallas.py, ops/eigh_pallas.py) run only on
+TPU; interpret mode executes the identical kernel program with exact XLA
+ops, so these tests pin the *math* — Mosaic lowering quirks (e.g. the
+measured single-pass-bf16 default dot precision) are covered by explicit
+`precision=HIGHEST` in the kernels themselves plus on-device benches.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pyseqm_tpu.ops.eigh_pallas import eigh_tpu
+from pyseqm_tpu.ops.sp2_pallas import sp2_purify_tpu
+
+
+def _gap_matrices(B, n, nocc, key, f32=True):
+    """Random symmetric matrices with a clean occupied/virtual gap."""
+    k1, k2 = jax.random.split(key)
+    dtype = jnp.float32
+    Q, _ = jnp.linalg.qr(jax.random.normal(k1, (B, n, n), dtype))
+    evals = jnp.concatenate([
+        -10.0 + 2.0 * jax.random.uniform(k2, (B, nocc), dtype),
+        2.0 + 6.0 * jax.random.uniform(k2, (B, n - nocc), dtype),
+    ], axis=1)
+    F = jnp.einsum('bik,bk,bjk->bij', Q, evals, Q)
+    F = 0.5 * (F + jnp.swapaxes(F, -1, -2))
+    occ = (jnp.arange(n)[None, :] < nocc).astype(dtype)
+    P = 2.0 * jnp.einsum('bik,bk,bjk->bij', Q, occ, Q)
+    return F, P
+
+
+def test_sp2_kernel_interpret_parity():
+    B, n, nocc = 12, 32, 8
+    F, P_exact = _gap_matrices(B, n, nocc, jax.random.PRNGKey(0))
+    aii = jnp.diagonal(F, axis1=-2, axis2=-1)
+    ri = jnp.sum(jnp.abs(F), axis=-1) - jnp.abs(aii)
+    h1 = jnp.min(aii - ri, axis=-1)
+    hN = jnp.max(aii + ri, axis=-1)
+    a0 = (jnp.eye(n, dtype=F.dtype)[None] * hN[:, None, None] - F) \
+        / (hN - h1)[:, None, None]
+    nocc_f = jnp.full((B,), float(nocc), jnp.float32)
+
+    P = np.asarray(sp2_purify_tpu(a0, nocc_f, 1.0e-5, interpret=True))
+    assert np.abs(P - np.asarray(P_exact)).max() < 5.0e-5
+    # idempotency after the McWeeny polish
+    half = P / 2.0
+    assert np.abs(half @ half - half).max() < 5.0e-5
+    tr = np.trace(P, axis1=1, axis2=2)
+    np.testing.assert_allclose(tr, 2.0 * nocc, atol=1e-4)
+
+
+def test_sp2_kernel_partial_batch_padding():
+    # B not a multiple of the per-program molecule count exercises the
+    # zero-molecule padding path
+    B, n, nocc = 7, 32, 5
+    F, P_exact = _gap_matrices(B, n, nocc, jax.random.PRNGKey(1))
+    aii = jnp.diagonal(F, axis1=-2, axis2=-1)
+    ri = jnp.sum(jnp.abs(F), axis=-1) - jnp.abs(aii)
+    h1 = jnp.min(aii - ri, axis=-1)
+    hN = jnp.max(aii + ri, axis=-1)
+    a0 = (jnp.eye(n, dtype=F.dtype)[None] * hN[:, None, None] - F) \
+        / (hN - h1)[:, None, None]
+    P = np.asarray(sp2_purify_tpu(a0, jnp.full((B,), float(nocc), jnp.float32),
+                                  1.0e-5, interpret=True))
+    assert P.shape == (B, n, n)
+    assert np.abs(P - np.asarray(P_exact)).max() < 5.0e-5
+
+
+def test_eigh_kernel_interpret_parity():
+    B, n = 16, 32
+    A = jax.random.normal(jax.random.PRNGKey(3), (B, n, n), jnp.float32)
+    A = 0.5 * (A + jnp.swapaxes(A, -1, -2)) * 5.0
+    e, v = eigh_tpu(A, interpret=True)
+    e = np.asarray(e, np.float64)
+    v = np.asarray(v, np.float64)
+    An = np.asarray(A, np.float64)
+    nrm = np.abs(An).max()
+    # ascending order, eigen residual, orthonormality
+    assert (np.diff(e, axis=1) >= -1e-5).all()
+    res = np.abs(np.einsum('bij,bjk->bik', An, v) - e[:, None, :] * v).max()
+    assert res < 5.0e-4 * nrm
+    orth = np.abs(np.einsum('bji,bjk->bik', v, v) - np.eye(n)).max()
+    assert orth < 1.0e-5
+    e_ref = np.linalg.eigvalsh(An)
+    np.testing.assert_allclose(e, e_ref, atol=5e-4 * nrm)
+
+
+def test_eigh_kernel_nonpow2_and_degenerate():
+    # n=24 exercises the power-of-two padding; an exact double eigenvalue
+    # exercises the cluster robustness jnp.linalg.eigh JVPs lack
+    B, n = 8, 24
+    Q, _ = jnp.linalg.qr(jax.random.normal(jax.random.PRNGKey(9),
+                                           (B, n, n), jnp.float32))
+    evals = jnp.sort(jax.random.normal(jax.random.PRNGKey(11), (B, n)) * 4.0,
+                     axis=-1)
+    evals = evals.at[:, 5].set(evals[:, 4])
+    A = jnp.einsum('bik,bk,bjk->bij', Q, evals.astype(jnp.float32), Q)
+    A = 0.5 * (A + jnp.swapaxes(A, -1, -2))
+    e, v = eigh_tpu(A, interpret=True)
+    e_ref = np.linalg.eigvalsh(np.asarray(A, np.float64))
+    np.testing.assert_allclose(np.asarray(e, np.float64), e_ref, atol=1e-4)
+    v = np.asarray(v, np.float64)
+    orth = np.abs(np.einsum('bji,bjk->bik', v, v) - np.eye(n)).max()
+    assert orth < 1.0e-5
