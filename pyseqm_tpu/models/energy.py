@@ -139,14 +139,18 @@ def _energy_impl(const, tables, cfg, species, coordinates, learned, P0,
     Kbeta = p.pop("Kbeta", None)
     g_ss_nuc = p.pop("g_ss_nuc", None)
 
-    # remat the integral stack: its backward pass recomputes the (cheap,
-    # elementwise-heavy) integrals instead of storing every intermediate —
-    # cuts peak HBM by an order of magnitude on large batches
+    # remat the integral stack on LARGE molecules: its backward pass then
+    # recomputes the (cheap, elementwise-heavy) integrals instead of
+    # storing every intermediate — cuts peak HBM by an order of magnitude.
+    # Small-molecule batches skip it: memory is plentiful there and the
+    # recompute adds a full hcore forward (~5 ms at 10k molecules) to
+    # every force evaluation.
     dense = cfg.dense_pair_grid
     if dense is None:
         dense = species.shape[1] >= 64
-    M, w = jax.checkpoint(hcore, static_argnums=(4,))(
-        const, sys, p, Kbeta, dense)
+    hcore_fn = (jax.checkpoint(hcore, static_argnums=(4,))
+                if species.shape[1] >= 32 else hcore)
+    M, w = hcore_fn(const, sys, p, Kbeta, dense)
     P, notconverged = scf_solve(const, sys, M, w, p, cfg.scf, P0)
     F = fock(sys, P, M, w, p)
     H = grid_to_mat(M)

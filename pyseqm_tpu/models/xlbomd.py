@@ -64,8 +64,9 @@ def _energy_xl_impl(const, tables, cfg, species, coordinates, P, learned,
     # integral layout never amortizes its placement cost here: auto=off
     # (the SCF path auto-enables it for large molecules instead).
     dense = bool(cfg.dense_pair_grid)
-    M, w = jax.checkpoint(hcore, static_argnums=(4,))(
-        const, sys, p, Kbeta, dense)
+    hcore_fn = (jax.checkpoint(hcore, static_argnums=(4,))
+                if species.shape[1] >= 32 else hcore)
+    M, w = hcore_fn(const, sys, p, Kbeta, dense)
     H = grid_to_mat(M)
     F = fock(sys, P, M, w, p)
 

@@ -149,26 +149,35 @@ def sp2(sys: System, F: jnp.ndarray, eps: float = 1.0e-4) -> jnp.ndarray:
     else:
         eps = min(max(eps, 1.0e-7), 1.0e-3)
 
+    n = F.shape[-1]
+    noccd = sys.nocc.astype(dtype)
+    eye = jnp.eye(n, dtype=dtype)
+
+    from . import sp2_pallas
+    if sp2_pallas.supported(n, dtype):
+        # SP2 never sorts eigenvalues, so (unlike the eigh path) padding
+        # orbitals need no valid-first permutation — pin their diagonal at
+        # hN in place and mask afterwards.  The four take_along_axis
+        # gathers the permutation cost were ~1/3 of the SP2 wall time.
+        m = orbital_mask(sys).astype(dtype)
+        mm = m[:, :, None] * m[:, None, :]
+        Fm = F * mm                      # zero padding rows/cols
+        h1, hN = _gershgorin(Fm)
+        # padding diagonal at hN -> scaled eigenvalue 0 -> occupation 0
+        Fp = Fm + eye[None] * ((1.0 - m) * hN[:, None])[:, None, :]
+        a0 = (eye[None] * hN[:, None, None] - Fp) / (hN - h1)[:, None, None]
+        Pp = sp2_pallas.sp2_purify_tpu(a0, noccd, eps_kernel)
+        return Pp * mm
+
     perm, inv = orbital_permutation(sys)
     Fp = permute_mat(F, perm)
     h1, hN = _gershgorin(Fp)
-    n = F.shape[-1]
     idx = jnp.arange(n)
     pad = idx[None, :] >= sys.norb[:, None]
     diag = jnp.where(pad, hN[:, None], jnp.diagonal(Fp, axis1=-2, axis2=-1))
     Fp = Fp.at[:, idx, idx].set(diag)
 
-    noccd = sys.nocc.astype(dtype)
-    eye = jnp.eye(n, dtype=dtype)
     a0 = (eye[None] * hN[:, None, None] - Fp) / (hN - h1)[:, None, None]
-
-    from . import sp2_pallas
-    if sp2_pallas.supported(n, dtype):
-        # VMEM-resident purification kernel (one HBM round-trip total)
-        Pp = sp2_pallas.sp2_purify_tpu(a0, noccd, eps_kernel)
-        P = permute_mat(Pp, inv)
-        m = orbital_mask(sys).astype(dtype)
-        return P * m[:, :, None] * m[:, None, :]
 
     # a0 stays symmetric through the iteration, so tr(a^2) = sum(a o a)
     # (a cheap fused reduction) and tr(a_new) follows from scalars — no

@@ -29,13 +29,20 @@ SQRT3 = 1.7320508075688772
 
 
 def _p15(x):
-    """x**1.5 without XLA pow (TPU pow routes through ~50-ulp exp/log)."""
-    return x * jnp.sqrt(x)
+    """x**1.5 without XLA pow (TPU pow routes through ~50-ulp exp/log).
+
+    The tiny clamp keeps the AD gradient clean at x == 0 (zeta_p of
+    hydrogen pairs): d/dx[x*sqrt(x)] evaluates 0 * inf = NaN there,
+    where pow's rule returned an exact 0.
+    """
+    xc = jnp.maximum(x, jnp.asarray(jnp.finfo(x.dtype).tiny, x.dtype))
+    return jnp.where(x > 0.0, xc * jnp.sqrt(xc), 0.0)
 
 
 def _p25(x):
-    """x**2.5 without XLA pow."""
-    return x * x * jnp.sqrt(x)
+    """x**2.5 without XLA pow (same zero-gradient guard as _p15)."""
+    xc = jnp.maximum(x, jnp.asarray(jnp.finfo(x.dtype).tiny, x.dtype))
+    return jnp.where(x > 0.0, xc * xc * jnp.sqrt(xc), 0.0)
 
 
 

@@ -81,6 +81,15 @@ class SCFConfig:
     # (cf. RAISE_ERROR_IF_SCF_FORWARD/BACKWARD_FAILS, scf_loop.py:23-27)
     raise_on_forward_failure: bool = False
     raise_on_backward_failure: bool = False
+    # plain (adaptive-mixing) iterations run on ALL molecules after the
+    # energy criterion fires.  The |dEelec| stop is *quadratically* blind
+    # to density error (E is variational), so in f32 DIIS halts with
+    # |dP| ~ 1e-2 while the f32 Fock+diag map's own fixed point sits
+    # 3e-6 from the f64 density (measured, CH2O) — a 0.2 eV/A force
+    # error from a 3e-3 eV energy error.  ~8 contraction steps recover
+    # |dP| ~ 1e-4-1e-5 and bring f32 forces to the 1e-3 eV/A class.
+    # None = auto: 8 for float32 inputs, 0 for float64.
+    polish_iters: Optional[int] = None
     # fractional occupations across a degenerate Fermi level
     # (cf. diag.CHECK_DEGENERACY, diag.py:7,79-98)
     check_degeneracy: bool = False
@@ -326,6 +335,23 @@ def scf_iterate(
         st = jax.lax.while_loop(
             lambda st: jnp.any(st.notconverged) & (st.k < cfg.max_iter),
             chunk, st0)
+
+        npolish = cfg.polish_iters
+        if npolish is None:
+            npolish = 8 if dtype == jnp.float32 else 0
+        if npolish:
+            # post-convergence polish (see SCFConfig.polish_iters): run the
+            # plain adaptive-mixing map on every molecule, converged or
+            # not, contracting the density toward the map's own fixed
+            # point; the notconverged flags reported are the pre-polish
+            # ones (the energy criterion's verdict).
+            nc_final = st.notconverged
+            st_all = st._replace(
+                notconverged=jnp.ones_like(st.notconverged))
+            st_all = jax.lax.fori_loop(
+                0, int(npolish), lambda i, s: phase_adaptive(s)._replace(
+                    notconverged=jnp.ones_like(s.notconverged)), st_all)
+            st = st_all._replace(notconverged=nc_final)
     return st.P, st.notconverged
 
 
