@@ -154,11 +154,14 @@ def bench_scf(nmol=NMOL, repeats=3):
     species = jnp.asarray(sp)
     coords = jnp.asarray(co, dtype=jnp.float32)
     efn = jax.jit(lambda c: pq.energy(const, tables, cfg, species, c).Hf)
-    jax.block_until_ready(efn(coords))
+    hf = jax.block_until_ready(efn(coords))
     times = []
     for _ in range(repeats):
+        # perturb coords from the previous result so the backend cannot
+        # replay a cached identical execution
+        coords = coords + 1.0e-7 * hf[:, None, None]
         t0 = time.perf_counter()
-        jax.block_until_ready(efn(coords))
+        hf = jax.block_until_ready(efn(coords))
         times.append(time.perf_counter() - t0)
     return nmol / min(times)
 
@@ -182,14 +185,26 @@ def bench_nanostar(n_carbons=294, repeats=3):
                       sp2_eps=1.0e-2, max_iter=400))
     out = jax.block_until_ready(jax.jit(
         lambda c: pq.energy(const, tables, cfg, species, c))(coords))
-    ffn = jax.jit(lambda c, P: force_xl(const, tables, cfg, species, c, P))
-    jax.block_until_ready(ffn(coords, out.P))
+
+    # chain force evaluations through the coordinates so the backend
+    # cannot replay a cached identical execution (and the ~26 ms/call
+    # tunnel dispatch latency amortizes away)
+    R = 3
+
+    @jax.jit
+    def many(c, P):
+        def step(c, _):
+            frc, _, D = force_xl(const, tables, cfg, species, c, P)
+            return c + 1.0e-7 * frc, None
+        return jax.lax.scan(step, c, None, length=R)[0]
+
+    c = jax.block_until_ready(many(coords, out.P))
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
-        jax.block_until_ready(ffn(coords, out.P))
+        c = jax.block_until_ready(many(c, out.P))
         times.append(time.perf_counter() - t0)
-    return 1.0 / min(times)
+    return R / min(times)
 
 
 def main():

@@ -54,6 +54,27 @@ MAX_ITER = 100
 # NB: Mosaic supports only DEFAULT (single bf16 pass) and HIGHEST (6-pass)
 # dot precisions; HIGH raises NotImplementedError
 _HI = jax.lax.Precision.HIGHEST
+# X^T X strategy: "highest" = one 6-pass dot; "bf16x3" = manual 3-pass
+# split (X = hi + lo in bf16; hi*hi + hi*lo + lo*hi).  Measured on v5e:
+# bf16x3 is ~10% SLOWER than one HIGHEST dot (the three separate dot ops
+# + hi/lo cast VPU passes outweigh the three saved MXU passes) — kept as
+# a documented experiment, default "highest".
+DOT_MODE = "highest"
+
+
+def _tdot(Xk, Yk):
+    """B = Xk^T Yk at f32-faithful precision (see DOT_MODE)."""
+    dn = (((0,), (0,)), ((), ()))
+    if DOT_MODE == "bf16x3":
+        Xh = Xk.astype(jnp.bfloat16)
+        Xl = (Xk - Xh.astype(jnp.float32)).astype(jnp.bfloat16)
+        Yh = Yk.astype(jnp.bfloat16)
+        Yl = (Yk - Yh.astype(jnp.float32)).astype(jnp.bfloat16)
+        d = lambda a, b: jax.lax.dot_general(
+            a, b, dn, preferred_element_type=jnp.float32)
+        return d(Xh, Yh) + (d(Xh, Yl) + d(Xl, Yh))
+    return jax.lax.dot_general(Xk, Yk, dn, precision=_HI,
+                               preferred_element_type=jnp.float32)
 
 
 def _sp2_kernel(n: int, m: int, K: int, eps: float, nocc_ref, x_ref, out_ref):
@@ -124,9 +145,7 @@ def _sp2_kernel(n: int, m: int, K: int, eps: float, nocc_ref, x_ref, out_ref):
         a2_panels = []
         for k in range(K):
             Xk = X[k * n:(k + 1) * n]
-            Bk = jax.lax.dot_general(Xk, Xk, (((0,), (0,)), ((), ())),
-                                     precision=_HI,
-                                     preferred_element_type=jnp.float32)
+            Bk = _tdot(Xk, Xk)
             A2k = blockmask[0] * Bk[0:n]
             for i in range(1, m):
                 A2k = A2k + blockmask[i] * Bk[i * n:(i + 1) * n]
@@ -165,15 +184,11 @@ def _sp2_kernel(n: int, m: int, K: int, eps: float, nocc_ref, x_ref, out_ref):
     polish = []
     for k in range(K):
         Xk = X[k * n:(k + 1) * n]
-        Bk = jax.lax.dot_general(Xk, Xk, (((0,), (0,)), ((), ())),
-                                 precision=_HI,
-                                 preferred_element_type=jnp.float32)
+        Bk = _tdot(Xk, Xk)
         A2k = blockmask[0] * Bk[0:n]
         for i in range(1, m):
             A2k = A2k + blockmask[i] * Bk[i * n:(i + 1) * n]
-        B3k = jax.lax.dot_general(Xk, A2k, (((0,), (0,)), ((), ())),
-                                  precision=_HI,
-                                  preferred_element_type=jnp.float32)
+        B3k = _tdot(Xk, A2k)
         A3k = blockmask[0] * B3k[0:n]
         for i in range(1, m):
             A3k = A3k + blockmask[i] * B3k[i * n:(i + 1) * n]

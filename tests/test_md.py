@@ -16,30 +16,35 @@ from pyseqm_tpu.drivers.xlbomd import XLBOMD
 from pyseqm_tpu.scf import SCFConfig
 
 
-def _setup(golden):
-    g = golden("am1_md")
+def _setup(golden, method="AM1"):
+    g = golden(f"{method.lower()}_md")
     const = pq.make_constants(dtype=jnp.float64)
-    tables = pq.load_element_tables("AM1", dtype=jnp.float64)
+    tables = pq.load_element_tables(method, dtype=jnp.float64)
     species = jnp.asarray(g["species"], dtype=jnp.int32)
     coords = jnp.asarray(g["coordinates"], dtype=jnp.float64) * 1.03
-    cfg = pq.SEQMConfig(method="AM1", scf=SCFConfig(eps=1.0e-10, converger=(2,)))
+    cfg = pq.SEQMConfig(method=method,
+                        scf=SCFConfig(eps=1.0e-10, converger=(2,)))
     return g, const, tables, cfg, species, coords
 
 
-def test_nve_trajectory_parity(golden):
-    g, const, tables, cfg, species, coords = _setup(golden)
+# AM1 pins a 25-step horizon (integrator drift), MNDO/PM3 5 steps
+@pytest.mark.parametrize("method,steps",
+                         [("AM1", 25), ("MNDO", 5), ("PM3", 5)])
+def test_nve_trajectory_parity(golden, method, steps):
+    g, const, tables, cfg, species, coords = _setup(golden, method)
     md = MolecularDynamics(const, tables, cfg, MDConfig(timestep=1.0))
     state = md.initialize(species, coords,
                           velocities=jnp.zeros_like(coords))
-    state = md.run(species, state, steps=5, thermo=5, log=False)
+    state = md.run(species, state, steps=steps, thermo=steps, log=False)
     np.testing.assert_allclose(np.asarray(state.coordinates),
                                g["nve_coords"], atol=1e-7)
     np.testing.assert_allclose(np.asarray(state.velocities),
                                g["nve_vel"], atol=1e-7)
 
 
-def test_xlbomd_trajectory_parity(golden):
-    g, const, tables, cfg, species, coords = _setup(golden)
+@pytest.mark.parametrize("method", ["AM1", "MNDO", "PM3"])
+def test_xlbomd_trajectory_parity(golden, method):
+    g, const, tables, cfg, species, coords = _setup(golden, method)
     md = XLBOMD(const, tables, cfg, MDConfig(timestep=1.0), k=5)
     state = md.initialize(species, coords,
                           velocities=jnp.zeros_like(coords))

@@ -173,9 +173,9 @@ def run_param_grads():
         print(k, np.asarray(v).ravel()[:4])
 
 
-def run_md_golden():
-    """Deterministic (zero initial velocity) 5-step NVE + XL-BOMD
-    trajectories for the CH2O/H2O batch."""
+def run_md_golden(method="AM1", nve_steps=5):
+    """Deterministic (zero initial velocity) NVE + XL-BOMD trajectories
+    for the CH2O/H2O batch; one golden file per method (AM1/MNDO/PM3)."""
     from seqm.MolecularDynamics import Molecular_Dynamics_Basic
     from seqm.XLBOMD import XL_BOMD
 
@@ -185,18 +185,18 @@ def run_md_golden():
     elements = [0] + sorted(set(species.reshape(-1).tolist()))
     out = {}
 
-    sp = seqm_parameters("AM1", elements, eps=1.0e-10)
+    sp = seqm_parameters(method, elements, eps=1.0e-10)
     md = Molecular_Dynamics_Basic(sp, timestep=1.0,
                                   output={"molid": [0], "thermo": 1,
                                           "dump": 10 ** 9, "prefix": "/tmp/md"})
     # stretch the geometry 3% off equilibrium so the trajectory is nontrivial
     coords = torch.tensor(COORDS, device=device) * 1.03
     vel = torch.zeros_like(coords)
-    x, v, a = md.run(const, 5, coords, vel, species)
+    x, v, a = md.run(const, nve_steps, coords, vel, species)
     out["nve_coords"] = x.detach().numpy()
     out["nve_vel"] = v.detach().numpy()
 
-    sp2cfg = seqm_parameters("AM1", elements, sp2=[False], eps=1.0e-10)
+    sp2cfg = seqm_parameters(method, elements, sp2=[False], eps=1.0e-10)
     xl = XL_BOMD(sp2cfg, timestep=1.0, k=5,
                  output={"molid": [0], "thermo": 1, "dump": 10 ** 9,
                          "prefix": "/tmp/xlmd"})
@@ -206,14 +206,18 @@ def run_md_golden():
     out["xl_coords"] = x.detach().numpy()
     out["xl_vel"] = v.detach().numpy()
 
-    np.savez_compressed(os.path.join(OUT, "am1_md.npz"),
+    np.savez_compressed(os.path.join(OUT, f"{method.lower()}_md.npz"),
                         species=np.array(SPECIES),
                         coordinates=np.array(COORDS), **out)
-    print("md golden done")
+    print(f"md golden done: {method} ({nve_steps} NVE steps)")
 
 
 if __name__ == "__main__":
     for m in ["AM1", "MNDO", "PM3"]:
         run_method(m)
     run_param_grads()
-    run_md_golden()
+    # AM1 pins a longer (25-step) NVE horizon for drift checks; the other
+    # methods pin 5-step trajectories (cf. reference tests/test7/test8)
+    run_md_golden("AM1", nve_steps=25)
+    run_md_golden("MNDO", nve_steps=5)
+    run_md_golden("PM3", nve_steps=5)
