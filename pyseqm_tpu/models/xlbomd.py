@@ -60,9 +60,12 @@ def _energy_xl_impl(const, tables, cfg, species, coordinates, P, learned,
 
     # remat: recompute integrals in the force backward pass instead of
     # storing intermediates (peak-HBM reduction on large batches).
-    # XL-BOMD builds ONE Fock per integral set, so the grid-resident
-    # integral layout never amortizes its placement cost here: auto=off
-    # (the SCF path auto-enables it for large molecules instead).
+    # dense stays OFF by default for XL even on large molecules: at 884
+    # atoms the dense Fock *forward* is 5x cheaper (29 vs 153 ms) but its
+    # broadcast-contraction *backward* more than gives it back — measured
+    # full force_xl: flat 640 ms vs dense 833 ms.  (The SCF path, which
+    # amortizes many Fock builds per integral set and differentiates
+    # none of them, auto-enables dense instead.)
     dense = bool(cfg.dense_pair_grid)
     hcore_fn = (jax.checkpoint(hcore, static_argnums=(4,))
                 if species.shape[1] >= 32 else hcore)
