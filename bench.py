@@ -166,6 +166,38 @@ def bench_scf(nmol=NMOL, repeats=3):
     return nmol / min(times)
 
 
+def bench_bomd(nmol=NMOL, repeats=3):
+    """Thermostatted Born-Oppenheimer MD (BASELINE config 4): Langevin NVT
+    with a full SCF + force per step, converged-P reuse across steps."""
+    import jax
+    import jax.numpy as jnp
+    import pyseqm_tpu as pq
+    from pyseqm_tpu.drivers.md import LangevinDynamics, MDConfig
+    from pyseqm_tpu.scf import SCFConfig
+    from pyseqm_tpu.utils.molecules import make_batch
+
+    const, tables, cfg = pq.build(
+        "AM1", dtype=jnp.float32,
+        scf=SCFConfig(eps=1.0e-4, converger=(2,), use_sp2=True,
+                      sp2_eps=1.0e-2, max_iter=200))
+    sp, co = make_batch(nmol, MOLSIZE, jitter=0.02)
+    species = jnp.asarray(sp)
+    coords = jnp.asarray(co, dtype=jnp.float32)
+    md = LangevinDynamics(const, tables, cfg,
+                          MDConfig(timestep=0.4, damp=20.0,
+                                   temperature=300.0))
+    state = md.initialize(species, coords, key=jax.random.PRNGKey(0),
+                          Temp=300.0)
+    chunk = md._build_chunk(species, 4)
+    state, obs = jax.block_until_ready(chunk(state))   # warmup/compile
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        state, obs = jax.block_until_ready(chunk(state))
+        times.append(time.perf_counter() - t0)
+    return 4 / min(times)
+
+
 def bench_nanostar(n_carbons=294, repeats=3):
     """Single 884-atom molecule (reference tests/test10 analogue):
     XL-BOMD-style force-step seconds."""
@@ -214,7 +246,7 @@ def main():
     ap.add_argument("--timing", action="store_true",
                     help="print a per-phase wall-clock report to stderr")
     ap.add_argument("--config",
-                    choices=["xlbomd", "xlbomd-ml", "scf", "nanostar"],
+                    choices=["xlbomd", "xlbomd-ml", "scf", "bomd", "nanostar"],
                     default="xlbomd")
     args = ap.parse_args()
 
@@ -230,6 +262,12 @@ def main():
         v = bench_scf(args.nmol)
         print(json.dumps({"metric": f"scf_am1_sp2_mol_per_sec@{args.nmol}mol",
                           "value": round(v, 1), "unit": "molecules/sec",
+                          "vs_baseline": None}))
+        return
+    if args.config == "bomd":
+        v = bench_bomd(args.nmol)
+        print(json.dumps({"metric": f"bomd_langevin_am1_steps_per_sec@{args.nmol}mol",
+                          "value": round(v, 3), "unit": "steps/sec",
                           "vs_baseline": None}))
         return
     if args.config == "nanostar":
