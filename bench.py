@@ -198,6 +198,36 @@ def bench_bomd(nmol=NMOL, repeats=3):
     return 4 / min(times)
 
 
+def bench_opt(nmol=2048, max_evl=60):
+    """Batched geometry optimization (BASELINE config 3): optax L-BFGS on
+    jittered small organics; reports force-call throughput."""
+    import jax
+    import jax.numpy as jnp
+    import pyseqm_tpu as pq
+    from pyseqm_tpu.drivers.opt import geometry_optimize_lbfgs
+    from pyseqm_tpu.scf import SCFConfig
+    from pyseqm_tpu.utils.molecules import make_batch
+
+    const, tables, cfg = pq.build(
+        "AM1", dtype=jnp.float32,
+        scf=SCFConfig(eps=1.0e-4, converger=(2,), use_sp2=True,
+                      sp2_eps=1.0e-2, max_iter=200))
+    sp, co = make_batch(nmol, MOLSIZE, jitter=0.05)
+    species = jnp.asarray(sp)
+    coords = jnp.asarray(co, dtype=jnp.float32)
+    # warmup/compile one step via a tiny run
+    geometry_optimize_lbfgs(const, tables, cfg, species, coords,
+                            force_tol=1.0e10, max_evl=1)
+    t0 = time.perf_counter()
+    x, ferr = geometry_optimize_lbfgs(const, tables, cfg, species, coords,
+                                      force_tol=1.0e-3, max_evl=max_evl)
+    dt = time.perf_counter() - t0
+    print(json.dumps({"final_max_force": float(ferr),
+                      "evals": max_evl, "wall_s": round(dt, 2)}),
+          file=sys.stderr)
+    return nmol * max_evl / dt
+
+
 def bench_nanostar(n_carbons=294, repeats=3):
     """Single 884-atom molecule (reference tests/test10 analogue):
     XL-BOMD-style force-step seconds."""
@@ -246,7 +276,7 @@ def main():
     ap.add_argument("--timing", action="store_true",
                     help="print a per-phase wall-clock report to stderr")
     ap.add_argument("--config",
-                    choices=["xlbomd", "xlbomd-ml", "scf", "bomd", "nanostar"],
+                    choices=["xlbomd", "xlbomd-ml", "scf", "bomd", "opt", "nanostar"],
                     default="xlbomd")
     args = ap.parse_args()
 
@@ -268,6 +298,12 @@ def main():
         v = bench_bomd(args.nmol)
         print(json.dumps({"metric": f"bomd_langevin_am1_steps_per_sec@{args.nmol}mol",
                           "value": round(v, 3), "unit": "steps/sec",
+                          "vs_baseline": None}))
+        return
+    if args.config == "opt":
+        v = bench_opt()
+        print(json.dumps({"metric": "lbfgs_opt_am1_molecule_evals_per_sec@2048mol",
+                          "value": round(v, 1), "unit": "molecule-evals/sec",
                           "vs_baseline": None}))
         return
     if args.config == "nanostar":
