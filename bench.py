@@ -198,13 +198,21 @@ def bench_bomd(nmol=NMOL, repeats=3):
     return 4 / min(times)
 
 
-def bench_opt(nmol=2048, max_evl=60):
-    """Batched geometry optimization (BASELINE config 3): optax L-BFGS on
-    jittered small organics; reports force-call throughput."""
+def bench_opt(nmol=2048, max_evl=60, sd=False):
+    """Batched geometry optimization (BASELINE config 3).
+
+    sd=False: optax L-BFGS (production path); reports outer-iteration
+    throughput using the actual iteration count (each iteration also runs
+    internal linesearch energy evaluations, so this undercounts raw
+    force-call throughput — honest denominator per ADVICE r2).
+    sd=True: fixed-step steepest descent, exactly one force evaluation per
+    step — apples-to-apples with the reference Geometry_Optimization_SD
+    (MolecularDynamics.py:89-156)."""
     import jax
     import jax.numpy as jnp
     import pyseqm_tpu as pq
-    from pyseqm_tpu.drivers.opt import geometry_optimize_lbfgs
+    from pyseqm_tpu.drivers.opt import (geometry_optimize_lbfgs,
+                                        geometry_optimize_sd)
     from pyseqm_tpu.scf import SCFConfig
     from pyseqm_tpu.utils.molecules import make_batch
 
@@ -215,17 +223,31 @@ def bench_opt(nmol=2048, max_evl=60):
     sp, co = make_batch(nmol, MOLSIZE, jitter=0.05)
     species = jnp.asarray(sp)
     coords = jnp.asarray(co, dtype=jnp.float32)
+    if sd:
+        # warmup/compile, then time a fixed number of SD force evals
+        geometry_optimize_sd(const, tables, cfg, species, coords,
+                             alpha=0.004, force_tol=0.0, max_evl=1)
+        t0 = time.perf_counter()
+        x, ferr, _ = geometry_optimize_sd(const, tables, cfg, species,
+                                          coords, alpha=0.004,
+                                          force_tol=0.0, max_evl=max_evl)
+        dt = time.perf_counter() - t0
+        print(json.dumps({"final_max_force": float(ferr),
+                          "evals": max_evl, "wall_s": round(dt, 2)}),
+              file=sys.stderr)
+        return nmol * max_evl / dt
     # warmup/compile one step via a tiny run
     geometry_optimize_lbfgs(const, tables, cfg, species, coords,
                             force_tol=1.0e10, max_evl=1)
     t0 = time.perf_counter()
-    x, ferr = geometry_optimize_lbfgs(const, tables, cfg, species, coords,
-                                      force_tol=1.0e-3, max_evl=max_evl)
+    x, ferr, iters = geometry_optimize_lbfgs(const, tables, cfg, species,
+                                             coords, force_tol=1.0e-3,
+                                             max_evl=max_evl)
     dt = time.perf_counter() - t0
     print(json.dumps({"final_max_force": float(ferr),
-                      "evals": max_evl, "wall_s": round(dt, 2)}),
+                      "iters": iters, "wall_s": round(dt, 2)}),
           file=sys.stderr)
-    return nmol * max_evl / dt
+    return nmol * iters / dt
 
 
 def bench_nanostar(n_carbons=294, repeats=3):
@@ -269,6 +291,21 @@ def bench_nanostar(n_carbons=294, repeats=3):
     return R / min(times)
 
 
+def _ref_value(config):
+    """Reference-CPU baseline for a config (tools/measure_ref_all.py).
+
+    The baseline file is a dict keyed by config; the legacy layout (one
+    flat object for the xlbomd headline) is still understood."""
+    if not os.path.exists(BASELINE_FILE):
+        return None
+    with open(BASELINE_FILE) as f:
+        d = json.load(f)
+    if "xlbomd" not in d:                 # legacy single-object layout
+        return d.get("value") if config == "xlbomd" else None
+    entry = d.get(config)
+    return entry.get("value") if entry else None
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--measure-ref", action="store_true")
@@ -276,66 +313,63 @@ def main():
     ap.add_argument("--timing", action="store_true",
                     help="print a per-phase wall-clock report to stderr")
     ap.add_argument("--config",
-                    choices=["xlbomd", "xlbomd-ml", "scf", "bomd", "opt", "nanostar"],
+                    choices=["xlbomd", "xlbomd-ml", "scf", "bomd", "opt",
+                             "opt-sd", "nanostar"],
                     default="xlbomd")
     args = ap.parse_args()
 
+    def emit(metric, value, unit, ref_key, ndigits=3):
+        ref = _ref_value(ref_key) if ref_key else None
+        vs = round(value / ref, 2) if ref else None
+        print(json.dumps({"metric": metric, "value": round(value, ndigits),
+                          "unit": unit, "vs_baseline": vs}))
+
     if args.config == "xlbomd-ml":
         value, epot = bench_tpu(args.nmol, timing=args.timing, ml=True)
-        print(json.dumps({
-            "metric": f"xlbomd_ml_am1_sp2_steps_per_sec@{args.nmol}mol",
-            "value": round(value, 3), "unit": "steps/sec",
-            "vs_baseline": None}))
+        emit(f"xlbomd_ml_am1_sp2_steps_per_sec@{args.nmol}mol", value,
+             "steps/sec", None)
         return
-
     if args.config == "scf":
-        v = bench_scf(args.nmol)
-        print(json.dumps({"metric": f"scf_am1_sp2_mol_per_sec@{args.nmol}mol",
-                          "value": round(v, 1), "unit": "molecules/sec",
-                          "vs_baseline": None}))
+        emit(f"scf_am1_sp2_mol_per_sec@{args.nmol}mol", bench_scf(args.nmol),
+             "molecules/sec", "scf", ndigits=1)
         return
     if args.config == "bomd":
-        v = bench_bomd(args.nmol)
-        print(json.dumps({"metric": f"bomd_langevin_am1_steps_per_sec@{args.nmol}mol",
-                          "value": round(v, 3), "unit": "steps/sec",
-                          "vs_baseline": None}))
+        emit(f"bomd_langevin_am1_steps_per_sec@{args.nmol}mol",
+             bench_bomd(args.nmol), "steps/sec", "bomd")
         return
     if args.config == "opt":
-        v = bench_opt()
-        print(json.dumps({"metric": "lbfgs_opt_am1_molecule_evals_per_sec@2048mol",
-                          "value": round(v, 1), "unit": "molecule-evals/sec",
-                          "vs_baseline": None}))
+        emit("lbfgs_opt_am1_molecule_iters_per_sec@2048mol", bench_opt(),
+             "molecule-iters/sec", "opt", ndigits=1)
+        return
+    if args.config == "opt-sd":
+        emit("sd_opt_am1_molecule_evals_per_sec@2048mol",
+             bench_opt(sd=True), "molecule-evals/sec", "opt", ndigits=1)
         return
     if args.config == "nanostar":
-        v = bench_nanostar()
-        print(json.dumps({"metric": "xlbomd_force_steps_per_sec@884atoms",
-                          "value": round(v, 3), "unit": "steps/sec",
-                          "vs_baseline": None}))
+        emit("xlbomd_force_steps_per_sec@884atoms", bench_nanostar(),
+             "steps/sec", "nanostar")
         return
 
     if args.measure_ref:
         ref = measure_reference_cpu(args.nmol)
         os.makedirs(os.path.dirname(BASELINE_FILE), exist_ok=True)
+        merged = {}
+        if os.path.exists(BASELINE_FILE):
+            with open(BASELINE_FILE) as f:
+                old = json.load(f)
+            merged = old if "xlbomd" in old else {"xlbomd": old}
+        merged["xlbomd"] = {"metric": "xlbomd_steps_per_sec",
+                            "nmol": args.nmol, "molsize": MOLSIZE,
+                            "value": ref,
+                            "hardware": "host CPU, PyTorch reference"}
         with open(BASELINE_FILE, "w") as f:
-            json.dump({"metric": "xlbomd_steps_per_sec",
-                       "nmol": args.nmol, "molsize": MOLSIZE,
-                       "value": ref,
-                       "hardware": "host CPU, PyTorch reference"}, f)
+            json.dump(merged, f, indent=1)
         print(json.dumps({"reference_steps_per_sec": ref}))
         return
 
     value, epot = bench_tpu(args.nmol, timing=args.timing)
-    ref = None
-    if os.path.exists(BASELINE_FILE):
-        with open(BASELINE_FILE) as f:
-            ref = json.load(f).get("value")
-    vs = value / ref if ref else None
-    print(json.dumps({
-        "metric": f"xlbomd_am1_sp2_steps_per_sec@{args.nmol}mol",
-        "value": round(value, 3),
-        "unit": "steps/sec",
-        "vs_baseline": round(vs, 2) if vs else None,
-    }))
+    emit(f"xlbomd_am1_sp2_steps_per_sec@{args.nmol}mol", value,
+         "steps/sec", "xlbomd")
 
 
 if __name__ == "__main__":

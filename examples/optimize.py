@@ -19,9 +19,10 @@ def main():
     sp, co = make_batch(4, molsize=8, jitter=0.05)
     species = jnp.asarray(sp)
     coords = jnp.asarray(co, dtype=jnp.float32)
-    x, ferr = geometry_optimize_lbfgs(const, tables, cfg, species, coords,
-                                      force_tol=5e-3, max_evl=30, log=True)
-    print("final max|F|:", float(ferr))
+    x, ferr, iters = geometry_optimize_lbfgs(const, tables, cfg, species,
+                                             coords, force_tol=5e-3,
+                                             max_evl=30, log=True)
+    print(f"final max|F|: {float(ferr)} after {iters} iterations")
 
 
 if __name__ == "__main__":

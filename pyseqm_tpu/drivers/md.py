@@ -257,7 +257,13 @@ class MolecularDynamics:
 
         The final chunk is clamped so exactly `steps` steps run; dump /
         remove_com intervals need not be multiples of `thermo` — they fire
-        whenever their boundary is crossed within a chunk."""
+        whenever their boundary is crossed within a chunk.  Dump
+        resolution is capped at the chunk size: steps inside a compiled
+        chunk are not host-visible, so at most one frame (the chunk-end
+        state) is written per chunk even if several `dump` boundaries fall
+        inside it.  Use dump >= thermo (or lower `thermo`) for
+        every-dump-steps frames like the reference's
+        (MolecularDynamics.py:300)."""
         chunks = {}
 
         def get_chunk(n):

@@ -116,11 +116,16 @@ def geometry_optimize_lbfgs(
 
     state = opt.init(coordinates)
     ferr = jnp.inf
+    iters = 0
     for i in range(max_evl):
         new_coords, state, value, ferr = step(coordinates, state)
+        iters = i + 1
         if log:
             print(f"{i + 1} {float(ferr):e} {float(value):e}")
         if float(ferr) <= force_tol:
             break
         coordinates = new_coords
-    return coordinates, jnp.asarray(ferr)
+    # NB: each L-BFGS iteration runs >= 1 internal zoom-linesearch energy
+    # evaluations on top of the value_and_grad call; `iters` counts outer
+    # iterations only (the honest denominator for iters/sec metrics).
+    return coordinates, jnp.asarray(ferr), iters

@@ -48,6 +48,11 @@ class SEQMConfig:
     # None = auto: on for large molecules where the flat pair list's
     # scatter/gather ops dominate the Fock cost.
     dense_pair_grid: Optional[bool] = None
+    # double-float STO overlap integrals on f32 (ops/overlap.py): matches
+    # the reference's f64 A/B-integral numerics to ~1e-8 absolute; the
+    # plain-f32 chain leaves ~1e-4-level Hcore error at strong-overlap
+    # pairs (C=O).  No effect on f64 inputs.
+    precise_overlap: bool = True
 
 
 class EnergyOutput(NamedTuple):
@@ -148,9 +153,9 @@ def _energy_impl(const, tables, cfg, species, coordinates, learned, P0,
     dense = cfg.dense_pair_grid
     if dense is None:
         dense = species.shape[1] >= 64
-    hcore_fn = (jax.checkpoint(hcore, static_argnums=(4,))
+    hcore_fn = (jax.checkpoint(hcore, static_argnums=(4, 5))
                 if species.shape[1] >= 32 else hcore)
-    M, w = hcore_fn(const, sys, p, Kbeta, dense)
+    M, w = hcore_fn(const, sys, p, Kbeta, dense, cfg.precise_overlap)
     P, notconverged = scf_solve(const, sys, M, w, p, cfg.scf, P0)
     F = fock(sys, P, M, w, p)
     H = grid_to_mat(M)

@@ -67,9 +67,9 @@ def _energy_xl_impl(const, tables, cfg, species, coordinates, P, learned,
     # amortizes many Fock builds per integral set and differentiates
     # none of them, auto-enables dense instead.)
     dense = bool(cfg.dense_pair_grid)
-    hcore_fn = (jax.checkpoint(hcore, static_argnums=(4,))
+    hcore_fn = (jax.checkpoint(hcore, static_argnums=(4, 5))
                 if species.shape[1] >= 32 else hcore)
-    M, w = hcore_fn(const, sys, p, Kbeta, dense)
+    M, w = hcore_fn(const, sys, p, Kbeta, dense, cfg.precise_overlap)
     H = grid_to_mat(M)
     F = fock(sys, P, M, w, p)
 

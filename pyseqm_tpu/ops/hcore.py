@@ -53,6 +53,7 @@ def hcore(
     p: Dict[str, jnp.ndarray],
     Kbeta: Optional[jnp.ndarray] = None,
     dense_grid: bool = False,
+    precise_overlap: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Assemble the core Hamiltonian block grid and two-electron integrals.
 
@@ -76,7 +77,7 @@ def hcore(
     qn_j = const.qn_int[sys.zj]
     ov_mask = sys.pair_mask & (sys.rij <= OVERLAP_CUTOFF)
     di = diatom_overlap(qn_i, qn_j, sys.xij, sys.rij,
-                        zeta[:, iu], zeta[:, ju])
+                        zeta[:, iu], zeta[:, ju], precise=precise_overlap)
     di = jnp.where(ov_mask[..., None, None], di, 0.0)
 
     bs_i, bp_i = p["beta_s"][:, iu], p["beta_p"][:, iu]

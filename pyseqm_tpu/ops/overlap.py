@@ -15,6 +15,14 @@ TPU-native reimplementation of the reference ``diatom_overlap_matrix``
   which replaces the reference's unrolled direction-cosine table
   (diat_overlap.py:186-224).
 
+Precision: the reference evaluates the A/B auxiliary integrals and their
+alternating-sign combinations in float64 (diat_overlap.py:284-393); a
+plain-f32 evaluation leaves a ~1e-4-level error on strong-overlap pairs
+(C=O) that dominates the f32 heat-of-formation budget.  ``precise=True``
+(the production default for f32, SEQMConfig.precise_overlap) evaluates the
+whole chain in double-float (hi, lo) arithmetic — ops/xsum.py TwoFloat +
+ops/accmath.exp_tf — on pure f32 VPU ops, no f64 anywhere.
+
 Supported: elements with valence principal quantum number 1 or 2 (H..F),
 matching the reference's actual coverage (its jcall table raises for row-3
 elements, diat_overlap.py:65-72).
@@ -24,6 +32,8 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from .accmath import exp as _exp
+from .accmath import exp_tf as _exp_tf
+from .xsum import TwoFloat, tf_const, tf_prod, tf_recip, two_prod, two_sum
 
 SQRT3 = 1.7320508075688772
 
@@ -45,7 +55,6 @@ def _p25(x):
     return jnp.where(x > 0.0, xc * xc * jnp.sqrt(xc), 0.0)
 
 
-
 def a_integrals(x0):
     """Auxiliary A_k(x) = int_1^inf t^k exp(-x t) dt for k=0..4.
 
@@ -59,7 +68,7 @@ def a_integrals(x0):
     a3 = a1 + 2.0 * a2 / x
     a4 = a1 + 3.0 * a3 / x
     a5 = a1 + 4.0 * a4 / x
-    return jnp.stack([a1, a2, a3, a4, a5], axis=-1)
+    return [a1, a2, a3, a4, a5]
 
 
 def b_integrals(x0):
@@ -108,15 +117,103 @@ def b_integrals(x0):
     b3 = jnp.where(exact, e3, jnp.where(taylor, t3, l3))
     b4 = jnp.where(exact, e4, jnp.where(taylor, t4, 0.0))
     b5 = jnp.where(exact, e5, jnp.where(taylor, t5, 0.0 * l5 + l5))
-    return jnp.stack([b1, b2, b3, b4, b5], axis=-1)
+    return [b1, b2, b3, b4, b5]
 
 
-def _ab(rij, z1, z2):
+# ---------------------------------------------------------------------------
+# double-float (hi, lo) evaluation of the same A/B chain — pure f32 ops
+# ---------------------------------------------------------------------------
+
+def _exp_tf2(x: TwoFloat) -> TwoFloat:
+    """exp of a TwoFloat argument: exp_tf(hi) * (1 + lo + lo^2/2)."""
+    e = _exp_tf(x.hi)
+    corr = x.lo * (1.0 + 0.5 * x.lo)
+    return e + e.hi * corr
+
+
+def _where_tf(m, a: TwoFloat, b: TwoFloat) -> TwoFloat:
+    return TwoFloat(jnp.where(m, a.hi, b.hi), jnp.where(m, a.lo, b.lo))
+
+
+def a_integrals_tf(x0: TwoFloat):
+    """A_k(x) in double-float.  Factored as exp(-x) * poly(1/x): the poly
+    coefficients are all-positive, so the only cancellation-capable step
+    (the final S combinations) sees ~1e-11-relative inputs."""
+    mask = x0.hi != 0.0
+    # sanitized big-x stand-in for padding: exp_tf saturates it to exact 0
+    x = TwoFloat(jnp.where(mask, x0.hi, 1.0e4), jnp.where(mask, x0.lo, 0.0))
+    u = tf_recip(x)
+    e = _exp_tf2(-x)
+    a1 = e * u
+    a2 = a1 + a1 * u
+    a3 = a1 + 2.0 * (a2 * u)
+    a4 = a1 + 3.0 * (a3 * u)
+    a5 = a1 + 4.0 * (a4 * u)
+    return [a1, a2, a3, a4, a5]
+
+
+def b_integrals_tf(x0: TwoFloat):
+    """B_k(x) in double-float, same three regimes as b_integrals."""
+    absx = jnp.abs(x0.hi)
+    exact = absx > 0.5
+    taylor = (absx <= 0.5) & (absx > 1.0e-6)
+
+    xs_hi = jnp.clip(jnp.where(exact, x0.hi, 1.0), -85.0, 85.0)
+    xs_lo = jnp.where(exact & (absx <= 85.0), x0.lo, 0.0)
+    xe = TwoFloat(xs_hi, xs_lo)
+    u = tf_recip(xe)
+    ep = _exp_tf2(xe)
+    em = tf_recip(ep)
+    tx = ep * u
+    tmx = -(em * u)
+    e1 = tx + tmx
+    e2 = -tx + tmx + e1 * u
+    e3 = tx + tmx + 2.0 * (e2 * u)
+    e4 = -tx + tmx + 3.0 * (e3 * u)
+    e5 = tx + tmx + 4.0 * (e4 * u)
+
+    xt = TwoFloat(jnp.where(taylor, x0.hi, 0.0),
+                  jnp.where(taylor, x0.lo, 0.0))
+    x2 = xt * xt
+    c = tf_const
+    t1 = ((x2 * c(1.0 / 2520.0) + c(1.0 / 60.0)) * x2 + c(1.0 / 3.0)) * x2 + 2.0
+    t3 = ((x2 * c(1.0 / 3240.0) + c(1.0 / 84.0)) * x2 + c(1.0 / 5.0)) * x2 + c(2.0 / 3.0)
+    t5 = ((x2 * c(1.0 / 3960.0) + c(1.0 / 108.0)) * x2 + c(1.0 / 7.0)) * x2 + c(2.0 / 5.0)
+    t2 = -(xt * (((x2 * c(1.0 / 420.0) + c(1.0 / 15.0)) * x2) + c(2.0 / 3.0)))
+    t4 = -(xt * (((x2 * c(1.0 / 540.0) + c(1.0 / 21.0)) * x2) + c(2.0 / 5.0)))
+
+    zero = TwoFloat(jnp.zeros_like(x0.hi), jnp.zeros_like(x0.hi))
+    l1 = zero + 2.0
+    l3 = zero + c(2.0 / 3.0)
+    l5 = zero + c(2.0 / 5.0)
+
+    b1 = _where_tf(exact, e1, _where_tf(taylor, t1, l1))
+    b2 = _where_tf(exact, e2, _where_tf(taylor, t2, zero))
+    b3 = _where_tf(exact, e3, _where_tf(taylor, t3, l3))
+    b4 = _where_tf(exact, e4, _where_tf(taylor, t4, zero))
+    b5 = _where_tf(exact, e5, _where_tf(taylor, t5, l5))
+    return [b1, b2, b3, b4, b5]
+
+
+def _arg_tf(rij, z1, z2, sign) -> TwoFloat:
+    """0.5 * rij * (z1 + sign*z2) carried exactly as a TwoFloat."""
+    s, e = two_sum(z1, sign * z2)
+    p = tf_prod(rij, s) + e * rij
+    return TwoFloat(0.5 * p.hi, 0.5 * p.lo)
+
+
+def _ab_plain(rij, z1, z2):
     """A/B integral stacks for one zeta combination (cf. SET, diat_overlap.py:253)."""
-    return a_integrals(0.5 * rij * (z1 + z2)), b_integrals(0.5 * rij * (z1 - z2))
+    return (a_integrals(0.5 * rij * (z1 + z2)),
+            b_integrals(0.5 * rij * (z1 - z2)))
 
 
-def diatom_overlap(qni, qnj, xij, rij, zeta_i, zeta_j):
+def _ab_tf(rij, z1, z2):
+    return (a_integrals_tf(_arg_tf(rij, z1, z2, 1.0)),
+            b_integrals_tf(_arg_tf(rij, z1, z2, -1.0)))
+
+
+def diatom_overlap(qni, qnj, xij, rij, zeta_i, zeta_j, precise=False):
     """Overlap 4x4 block between the AOs of an (i, j) pair.
 
     Args:
@@ -124,10 +221,19 @@ def diatom_overlap(qni, qnj, xij, rij, zeta_i, zeta_j):
       xij: (..., 3) unit vector i->j.
       rij: (...,) distance in Bohr.
       zeta_i, zeta_j: (..., 2) [zeta_s, zeta_p] orbital exponents.
+      precise: evaluate the A/B chain in double-float (f32 inputs only;
+        matches the reference's f64 numerics to ~1e-8 absolute).
 
     Returns: (..., 4, 4) overlap in the molecular frame (rows: AOs on i).
     """
     dtype = rij.dtype
+    if precise and dtype == jnp.float32:
+        ab = lambda z1, z2: _ab_tf(rij, z1, z2)           # noqa: E731
+        val = lambda t: t.value()                          # noqa: E731
+    else:
+        ab = lambda z1, z2: _ab_plain(rij, z1, z2)         # noqa: E731
+        val = lambda t: t                                  # noqa: E731
+
     jcall2 = (qni == 1) & (qnj == 1)
     jcall3 = (qni == 2) & (qnj == 1)
     jcall4 = (qni == 2) & (qnj == 2)
@@ -139,45 +245,37 @@ def diatom_overlap(qni, qnj, xij, rij, zeta_i, zeta_j):
     r5 = r4 * rij
 
     # --- s(i)-s(j) ---
-    A, B = _ab(rij, zsi, zsj)
-    s111_2 = _p15(zsi * zsj * r2) * (A[..., 2] * B[..., 0] - B[..., 2] * A[..., 0]) / 4.0
-    s111_3 = (_p15(zsj) * _p25(zsi) * r4
-              * (A[..., 3] * B[..., 0] - B[..., 3] * A[..., 0]
-                 + A[..., 2] * B[..., 1] - B[..., 2] * A[..., 1]) / (SQRT3 * 8.0))
-    s111_4 = (_p25(zsj * zsi) * r5
-              * (A[..., 4] * B[..., 0] + B[..., 4] * A[..., 0]
-                 - 2.0 * A[..., 2] * B[..., 2]) / 48.0)
+    A, B = ab(zsi, zsj)
+    s111_2 = (_p15(zsi * zsj * r2) / 4.0) * val(A[2] * B[0] - B[2] * A[0])
+    s111_3 = (_p15(zsj) * _p25(zsi) * r4 / (SQRT3 * 8.0)
+              * val(A[3] * B[0] - B[3] * A[0] + A[2] * B[1] - B[2] * A[1]))
+    s111_4 = (_p25(zsj * zsi) * r5 / 48.0
+              * val(A[4] * B[0] + B[4] * A[0] - 2.0 * (A[2] * B[2])))
     S111 = jnp.where(jcall2, s111_2, jnp.where(jcall3, s111_3,
                      jnp.where(jcall4, s111_4, 0.0))).astype(dtype)
 
     # --- p_sigma(i)-s(j) ---
-    A, B = _ab(rij, zpi, zsj)
-    s211_3 = (_p15(zsj) * _p25(zpi) * r4
-              * (A[..., 2] * B[..., 0] - B[..., 2] * A[..., 0]
-                 + A[..., 3] * B[..., 1] - B[..., 3] * A[..., 1]) / 8.0)
-    s211_4 = (_p25(zsj * zpi) * r5
-              * (A[..., 3] * (B[..., 0] - B[..., 2])
-                 - A[..., 1] * (B[..., 2] - B[..., 4])
-                 + B[..., 3] * (A[..., 0] - A[..., 2])
-                 - B[..., 1] * (A[..., 2] - A[..., 4])) / (16.0 * SQRT3))
+    A, B = ab(zpi, zsj)
+    s211_3 = (_p15(zsj) * _p25(zpi) * r4 / 8.0
+              * val(A[2] * B[0] - B[2] * A[0] + A[3] * B[1] - B[3] * A[1]))
+    s211_4 = (_p25(zsj * zpi) * r5 / (16.0 * SQRT3)
+              * val(A[3] * (B[0] - B[2]) - A[1] * (B[2] - B[4])
+                    + B[3] * (A[0] - A[2]) - B[1] * (A[2] - A[4])))
     S211 = jnp.where(jcall3, s211_3, jnp.where(jcall4, s211_4, 0.0)).astype(dtype)
 
     # --- s(i)-p_sigma(j) ---
-    A, B = _ab(rij, zsi, zpj)
-    s121_4 = (_p25(zpj * zsi) * r5
-              * (A[..., 3] * (B[..., 0] - B[..., 2])
-                 - A[..., 1] * (B[..., 2] - B[..., 4])
-                 - B[..., 3] * (A[..., 0] - A[..., 2])
-                 + B[..., 1] * (A[..., 2] - A[..., 4])) / (16.0 * SQRT3))
+    A, B = ab(zsi, zpj)
+    s121_4 = (_p25(zpj * zsi) * r5 / (16.0 * SQRT3)
+              * val(A[3] * (B[0] - B[2]) - A[1] * (B[2] - B[4])
+                    - B[3] * (A[0] - A[2]) + B[1] * (A[2] - A[4])))
     S121 = jnp.where(jcall4, s121_4, 0.0).astype(dtype)
 
     # --- p(i)-p(j) ---
-    A, B = _ab(rij, zpi, zpj)
+    A, B = ab(zpi, zpj)
     wf = _p25(zpj * zpi) * r5 / 16.0
-    s221_4 = -wf * (B[..., 2] * (A[..., 4] + A[..., 0]) - A[..., 2] * (B[..., 4] + B[..., 0]))
-    s222_4 = 0.5 * wf * (A[..., 4] * (B[..., 0] - B[..., 2])
-                         - B[..., 4] * (A[..., 0] - A[..., 2])
-                         - A[..., 2] * B[..., 0] + B[..., 2] * A[..., 0])
+    s221_4 = -wf * val(B[2] * (A[4] + A[0]) - A[2] * (B[4] + B[0]))
+    s222_4 = 0.5 * wf * val(A[4] * (B[0] - B[2]) - B[4] * (A[0] - A[2])
+                            - A[2] * B[0] + B[2] * A[0])
     S221 = jnp.where(jcall4, s221_4, 0.0).astype(dtype)
     S222 = jnp.where(jcall4, s222_4, 0.0).astype(dtype)
 

@@ -26,12 +26,60 @@ import jax.numpy as jnp
 
 
 class TwoFloat(NamedTuple):
-    """Unevaluated hi + lo sum; |lo| <= ulp(hi)/2."""
+    """Unevaluated hi + lo sum; |lo| <= ulp(hi)/2.
+
+    Supports +, -, *, / against TwoFloat, plain arrays, and Python
+    scalars, so double-float formulas read like their f64 originals
+    (used by the precise STO overlap path, ops/overlap.py).
+    """
     hi: jnp.ndarray
     lo: jnp.ndarray
 
     def value(self):
         return self.hi + self.lo
+
+    # -- operator sugar (double-float arithmetic) --
+    def __add__(self, other):
+        return tf_add(self, _as_tf(other, self.hi))
+
+    __radd__ = __add__
+
+    def __sub__(self, other):
+        return tf_add(self, tf_neg(_as_tf(other, self.hi)))
+
+    def __rsub__(self, other):
+        return tf_add(_as_tf(other, self.hi), tf_neg(self))
+
+    def __neg__(self):
+        return tf_neg(self)
+
+    def __mul__(self, other):
+        return tf_mul(self, _as_tf(other, self.hi))
+
+    __rmul__ = __mul__
+
+    def __truediv__(self, other):
+        return tf_mul(self, tf_recip(_as_tf(other, self.hi)))
+
+    def __rtruediv__(self, other):
+        return tf_mul(_as_tf(other, self.hi), tf_recip(self))
+
+
+def _as_tf(x, like=None) -> "TwoFloat":
+    if isinstance(x, TwoFloat):
+        return x
+    # pin plain scalars/arrays to the partner's dtype so a Python literal
+    # cannot upcast an f32 chain under jax_enable_x64
+    x = jnp.asarray(x, None if like is None else like.dtype)
+    return TwoFloat(x, jnp.zeros((), x.dtype))
+
+
+def tf_const(v: float, dtype=jnp.float32) -> TwoFloat:
+    """Compile-time two-float constant: hi = round(v), lo = round(v - hi)."""
+    import numpy as np
+    hi = np.asarray(v, dtype)
+    lo = np.asarray(v - float(hi), dtype)
+    return TwoFloat(jnp.asarray(hi), jnp.asarray(lo))
 
 
 def two_sum(a, b) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -40,6 +88,47 @@ def two_sum(a, b) -> Tuple[jnp.ndarray, jnp.ndarray]:
     z = s - a
     e = (a - (s - z)) + (b - z)
     return s, e
+
+
+_SPLIT_F32 = 4097.0      # 2^12 + 1: Dekker split constant for float32
+_SPLIT_F64 = 134217729.0  # 2^27 + 1: for float64
+
+
+def _split(a):
+    c = (_SPLIT_F32 if a.dtype == jnp.float32 else _SPLIT_F64) * a
+    ah = c - (c - a)
+    return ah, a - ah
+
+
+def two_prod(a, b) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Error-free product (Dekker): returns (p, e) with p + e == a * b."""
+    p = a * b
+    ah, al = _split(a)
+    bh, bl = _split(b)
+    e = ((ah * bh - p) + ah * bl + al * bh) + al * bl
+    return p, e
+
+
+def tf_prod(a, b) -> TwoFloat:
+    """Exact product of two plain arrays as a TwoFloat."""
+    return TwoFloat(*two_prod(a, b))
+
+
+def tf_mul(x: TwoFloat, y: TwoFloat) -> TwoFloat:
+    p, e = two_prod(x.hi, y.hi)
+    e = e + (x.hi * y.lo + x.lo * y.hi)
+    s, e2 = two_sum(p, e)
+    return TwoFloat(s, e2)
+
+
+def tf_recip(y: TwoFloat) -> TwoFloat:
+    """1/y to ~eps^2 relative (one Newton step from the f32 quotient)."""
+    q = 1.0 / y.hi
+    p, e = two_prod(y.hi, q)
+    # d = 1 - y*q, computed exactly to f32 residual accuracy
+    d = ((1.0 - p) - e) - y.lo * q
+    s, e2 = two_sum(q, q * d)
+    return TwoFloat(s, e2)
 
 
 def tf_add(x: TwoFloat, y: TwoFloat) -> TwoFloat:

@@ -19,10 +19,21 @@ import jax
 import numpy as np
 
 
+def _structure_sig(tree: Any) -> str:
+    """Version-stable structural signature: sorted leaf key-paths.
+
+    ``str(treedef)`` is not stable across JAX versions, so it is kept only
+    for error messages; validation compares key paths (ADVICE r2)."""
+    paths = jax.tree_util.tree_flatten_with_path(tree)[0]
+    return json.dumps([jax.tree_util.keystr(p) for p, _ in paths])
+
+
 def save_state(path: str, state: Any):
     """Serialize a pytree state to ``path`` (.npz)."""
     leaves, treedef = jax.tree_util.tree_flatten(state)
     arrays = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
+    arrays["__structure__"] = np.frombuffer(
+        _structure_sig(state).encode(), dtype=np.uint8)
     arrays["__treedef__"] = np.frombuffer(
         json.dumps(str(treedef)).encode(), dtype=np.uint8)
     np.savez_compressed(path, **arrays)
@@ -36,7 +47,15 @@ def load_state(path: str, like: Any) -> Any:
     """
     d = np.load(path)
     leaves, treedef = jax.tree_util.tree_flatten(like)
-    if "__treedef__" in d:
+    if "__structure__" in d:
+        saved = bytes(d["__structure__"]).decode()
+        if saved != _structure_sig(like):
+            raise ValueError(
+                f"checkpoint structure mismatch:\n"
+                f"  saved:    {json.loads(saved)}\n"
+                f"  expected: {json.loads(_structure_sig(like))}")
+    elif "__treedef__" in d:
+        # legacy checkpoints (pre-__structure__): best-effort repr compare
         saved_td = json.loads(bytes(d["__treedef__"]).decode())
         if saved_td != str(treedef):
             raise ValueError(
