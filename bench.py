@@ -25,7 +25,8 @@ BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "benchmarks", "ref_cpu_baseline.json")
 
 
-def bench_tpu(nmol=NMOL, chunk=CHUNK, repeats=3, timing=False, ml=False):
+def bench_tpu(nmol=NMOL, chunk=CHUNK, repeats=3, timing=False, ml=False,
+              dense=None):
     import jax
     # persistent compile cache: the big DIIS/while_loop programs compile
     # once per machine instead of once per process
@@ -42,7 +43,7 @@ def bench_tpu(nmol=NMOL, chunk=CHUNK, repeats=3, timing=False, ml=False):
     tm = Timing() if timing else None
 
     const, tables, cfg = pq.build(
-        "AM1", dtype=jnp.float32,
+        "AM1", dtype=jnp.float32, dense_pair_grid=dense,
         scf=SCFConfig(eps=1.0e-5, converger=(2,), use_sp2=True,
                       sp2_eps=1.0e-2, max_iter=200))
     sp, co = make_batch(nmol, MOLSIZE, jitter=0.02)
@@ -138,18 +139,25 @@ def measure_reference_cpu(nmol=NMOL, steps=3):
     return steps / dt
 
 
-def bench_scf(nmol=NMOL, repeats=3):
-    """Batched single-point SCF throughput (BASELINE config 2)."""
+def bench_scf(nmol=NMOL, repeats=3, eigh=False):
+    """Batched single-point SCF throughput (BASELINE config 2).
+
+    Default: SP2 at eps=1e-3 (the f32+SP2 trace-eps floor).  eigh=True
+    runs the Jacobi-eigh converger at the reference-comparable eps=1e-5
+    (cf. reference tests/test1.py tolerances) — VERDICT r2 item 7."""
     import jax
     import jax.numpy as jnp
     import pyseqm_tpu as pq
     from pyseqm_tpu.scf import SCFConfig
     from pyseqm_tpu.utils.molecules import make_batch
 
-    const, tables, cfg = pq.build(
-        "AM1", dtype=jnp.float32,
-        scf=SCFConfig(eps=1.0e-3, converger=(2,), use_sp2=True,
-                      sp2_eps=1.0e-2, max_iter=200))
+    if eigh:
+        scf = SCFConfig(eps=1.0e-5, converger=(2,), use_sp2=False,
+                        max_iter=200)
+    else:
+        scf = SCFConfig(eps=1.0e-3, converger=(2,), use_sp2=True,
+                        sp2_eps=1.0e-2, max_iter=200)
+    const, tables, cfg = pq.build("AM1", dtype=jnp.float32, scf=scf)
     sp, co = make_batch(nmol, MOLSIZE, jitter=0.02)
     species = jnp.asarray(sp)
     coords = jnp.asarray(co, dtype=jnp.float32)
@@ -312,9 +320,11 @@ def main():
     ap.add_argument("--nmol", type=int, default=NMOL)
     ap.add_argument("--timing", action="store_true",
                     help="print a per-phase wall-clock report to stderr")
+    ap.add_argument("--dense", action="store_true",
+                    help="force the dense-A^2 integral pipeline on")
     ap.add_argument("--config",
-                    choices=["xlbomd", "xlbomd-ml", "scf", "bomd", "opt",
-                             "opt-sd", "nanostar"],
+                    choices=["xlbomd", "xlbomd-ml", "scf", "scf-eigh",
+                             "bomd", "opt", "opt-sd", "nanostar"],
                     default="xlbomd")
     args = ap.parse_args()
 
@@ -330,8 +340,13 @@ def main():
              "steps/sec", None)
         return
     if args.config == "scf":
-        emit(f"scf_am1_sp2_mol_per_sec@{args.nmol}mol", bench_scf(args.nmol),
-             "molecules/sec", "scf", ndigits=1)
+        emit(f"scf_am1_sp2_eps1e-3_mol_per_sec@{args.nmol}mol",
+             bench_scf(args.nmol), "molecules/sec", "scf", ndigits=1)
+        return
+    if args.config == "scf-eigh":
+        emit(f"scf_am1_eigh_eps1e-5_mol_per_sec@{args.nmol}mol",
+             bench_scf(args.nmol, eigh=True), "molecules/sec", "scf",
+             ndigits=1)
         return
     if args.config == "bomd":
         emit(f"bomd_langevin_am1_steps_per_sec@{args.nmol}mol",
@@ -367,7 +382,8 @@ def main():
         print(json.dumps({"reference_steps_per_sec": ref}))
         return
 
-    value, epot = bench_tpu(args.nmol, timing=args.timing)
+    value, epot = bench_tpu(args.nmol, timing=args.timing,
+                            dense=True if args.dense else None)
     emit(f"xlbomd_am1_sp2_steps_per_sec@{args.nmol}mol", value,
          "steps/sec", "xlbomd")
 

@@ -53,6 +53,10 @@ class SEQMConfig:
     # plain-f32 chain leaves ~1e-4-level Hcore error at strong-overlap
     # pairs (C=O).  No effect on f64 inputs.
     precise_overlap: bool = True
+    # differentiable-Fock layout when integrals are grid-resident:
+    # None = auto (flat extraction — its backward beat the dense one in
+    # round-2 measurements), True = dense scatter-free Fock, False = flat.
+    dense_fock: Optional[bool] = None
 
 
 class EnergyOutput(NamedTuple):
@@ -153,11 +157,26 @@ def _energy_impl(const, tables, cfg, species, coordinates, learned, P0,
     dense = cfg.dense_pair_grid
     if dense is None:
         dense = species.shape[1] >= 64
-    hcore_fn = (jax.checkpoint(hcore, static_argnums=(4, 5))
-                if species.shape[1] >= 32 else hcore)
-    M, w = hcore_fn(const, sys, p, Kbeta, dense, cfg.precise_overlap)
+    if dense:
+        # gather-free ordered-pair integral build (ops/hcore.py
+        # hcore_dense); the SCF loop consumes the grid-resident
+        # integrals (scatter-free Fock), while the final differentiable
+        # Fock uses the flat extraction (its backward is faster).
+        from ..ops.hcore import hcore_dense
+        from ..ops.tetci import from_grid
+
+        def build(const, sys, p, Kbeta):
+            return hcore_dense(const, sys, p, cfg.pair_outer_cutoff,
+                               Kbeta, cfg.precise_overlap)
+    else:
+        def build(const, sys, p, Kbeta):
+            return hcore(const, sys, p, Kbeta, False, cfg.precise_overlap)
+    hcore_fn = jax.checkpoint(build) if species.shape[1] >= 32 else build
+    M, w = hcore_fn(const, sys, p, Kbeta)
     P, notconverged = scf_solve(const, sys, M, w, p, cfg.scf, P0)
-    F = fock(sys, P, M, w, p)
+    w_f = w if (not dense or cfg.dense_fock) else \
+        from_grid(w, sys.pair_i, sys.pair_j)
+    F = fock(sys, P, M, w_f, p)
     H = grid_to_mat(M)
 
     if g_ss_nuc is not None:

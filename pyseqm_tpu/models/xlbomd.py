@@ -60,23 +60,38 @@ def _energy_xl_impl(const, tables, cfg, species, coordinates, P, learned,
 
     # remat: recompute integrals in the force backward pass instead of
     # storing intermediates (peak-HBM reduction on large batches).
-    # dense stays OFF by default for XL even on large molecules: at 884
-    # atoms the dense Fock *forward* is 5x cheaper (29 vs 153 ms) but its
-    # broadcast-contraction *backward* more than gives it back — measured
-    # full force_xl: flat 640 ms vs dense 833 ms.  (The SCF path, which
-    # amortizes many Fock builds per integral set and differentiates
-    # none of them, auto-enables dense instead.)
-    dense = bool(cfg.dense_pair_grid)
-    hcore_fn = (jax.checkpoint(hcore, static_argnums=(4, 5))
-                if species.shape[1] >= 32 else hcore)
-    M, w = hcore_fn(const, sys, p, Kbeta, dense, cfg.precise_overlap)
+    # Large molecules build the integrals dense (hcore_dense: the flat
+    # path's per-pair gathers were 122 of 640 ms at 884 atoms) but run
+    # the single differentiable Fock on the flat extraction — the dense
+    # Fock *forward* is 5x cheaper (29 vs 153 ms) yet its
+    # broadcast-contraction *backward* more than gives it back (measured
+    # round 2: full force_xl flat 640 ms vs dense 833 ms).
+    dense = cfg.dense_pair_grid
+    if dense is None:
+        dense = species.shape[1] >= 64
+    if dense:
+        from ..ops.hcore import hcore_dense
+        from ..ops.tetci import from_grid
+
+        def build(const, sys, p, Kbeta):
+            return hcore_dense(const, sys, p, cfg.pair_outer_cutoff,
+                               Kbeta, cfg.precise_overlap)
+    else:
+        def build(const, sys, p, Kbeta):
+            return hcore(const, sys, p, Kbeta, False, cfg.precise_overlap)
+    hcore_fn = jax.checkpoint(build) if species.shape[1] >= 32 else build
+    M, w = hcore_fn(const, sys, p, Kbeta)
     H = grid_to_mat(M)
-    F = fock(sys, P, M, w, p)
+    w_f = w if (not dense or cfg.dense_fock) else \
+        from_grid(w, sys.pair_i, sys.pair_j)
+    F = fock(sys, P, M, w_f, p)
 
     # D is built once from F and treated as a constant (no_grad block,
     # XLBOMD.py:124-128)
     if cfg.scf.use_sp2:
-        D = sp2(sys, jax.lax.stop_gradient(F), cfg.scf.sp2_eps)
+        D = sp2(sys, jax.lax.stop_gradient(F), cfg.scf.sp2_eps,
+                cfg.scf.sp2_precision, cfg.scf.sp2_dots,
+                cfg.scf.sp2_tight_bounds)
     else:
         D = sym_eig(sys, jax.lax.stop_gradient(F))[1]
     D = jax.lax.stop_gradient(D)

@@ -131,13 +131,42 @@ class _SP2State(NamedTuple):
     k: jnp.ndarray
 
 
-def sp2(sys: System, F: jnp.ndarray, eps: float = 1.0e-4) -> jnp.ndarray:
+def _gelfand_radius(Fc, sigma, squarings=2):
+    """Upper bound on max |lam(Fc) - sigma| via Gelfand squaring:
+    gersh((Fc - sigma I)^(2^k))^(2^-k) -> spectral radius as k grows;
+    one batched matmul per squaring (normalized to avoid overflow).
+
+    Tighter bounds than plain Gershgorin buy SP2 twice: the scaled
+    HOMO-LUMO gap grows (fewer iterations), and every saved linear-phase
+    iteration HALVES the amplified dot-noise in the converged P (see
+    sp2_pallas DOT_MODE)."""
+    n = Fc.shape[-1]
+    eye = jnp.eye(n, dtype=Fc.dtype)
+    B = Fc - eye[None] * sigma[:, None, None]
+    logr = jnp.zeros_like(sigma)
+    for k in range(squarings):
+        B = jnp.matmul(B, B, precision=jax.lax.Precision.HIGHEST)
+        g = jnp.maximum(jnp.max(jnp.sum(jnp.abs(B), axis=-1), axis=-1),
+                        1.0e-30)
+        logr = logr + jnp.log(g) / (2.0 ** (k + 1))
+        B = B / g[:, None, None]
+    return jnp.exp(logr)
+
+
+def sp2(sys: System, F: jnp.ndarray, eps: float = 1.0e-4,
+        precision: str = "highest", dots: str = "highest",
+        tight_bounds: bool = False) -> jnp.ndarray:
     """SP2 density-matrix purification (cf. SP2.py:3-72).
 
     Pure batched matmuls — the TPU-preferred density path.  Per-molecule
     convergence handled with masked updates inside a while_loop; padding
     orbitals are pinned at occupation zero by setting their diagonal to the
     Gershgorin upper bound hN (maps exactly to 0 under the initial scaling).
+
+    ``precision`` sets the XLA-path matmul precision ("highest" = 6-pass
+    full-f32, "high" = 3-pass ~2x faster on large n; the f32 trace-eps
+    floor of 1e-2 tolerates "high" — see SCFConfig.sp2_precision).  The
+    Pallas kernel path always runs HIGHEST-precision dots.
     """
     dtype = F.dtype
     f32 = dtype == jnp.float32
@@ -163,10 +192,18 @@ def sp2(sys: System, F: jnp.ndarray, eps: float = 1.0e-4) -> jnp.ndarray:
         mm = m[:, :, None] * m[:, None, :]
         Fm = F * mm                      # zero padding rows/cols
         h1, hN = _gershgorin(Fm)
+        if tight_bounds:
+            # pin padding mid-spectrum so it cannot widen the estimate,
+            # refine, then re-pin at the tightened upper bound below
+            sigma = 0.5 * (h1 + hN)
+            Ftmp = Fm + eye[None] * ((1.0 - m) * sigma[:, None])[:, None, :]
+            r = 1.02 * _gelfand_radius(Ftmp, sigma)
+            h1 = jnp.maximum(h1, sigma - r)
+            hN = jnp.minimum(hN, sigma + r)
         # padding diagonal at hN -> scaled eigenvalue 0 -> occupation 0
         Fp = Fm + eye[None] * ((1.0 - m) * hN[:, None])[:, None, :]
         a0 = (eye[None] * hN[:, None, None] - Fp) / (hN - h1)[:, None, None]
-        Pp = sp2_pallas.sp2_purify_tpu(a0, noccd, eps_kernel)
+        Pp = sp2_pallas.sp2_purify_tpu(a0, noccd, eps_kernel, dots)
         return Pp * mm
 
     perm, inv = orbital_permutation(sys)
@@ -190,13 +227,17 @@ def sp2(sys: System, F: jnp.ndarray, eps: float = 1.0e-4) -> jnp.ndarray:
     def cond(st):
         return jnp.any(st.notconverged) & (st.k < SP2_MAX_ITER)
 
+    prec = {"highest": jax.lax.Precision.HIGHEST,
+            "high": jax.lax.Precision.HIGH,
+            "default": jax.lax.Precision.DEFAULT}[precision]
+
     def body_masked(st):
         # ONE reduction per iteration: tr(a^2) = |a|_F^2 (a stays
         # symmetric).  tr(a_new) follows from scalars; mixing a second
         # reduction kind into this body triggers an XLA/TPU fusion
         # pathology (~10x slowdown), so the exact trace is refreshed only
         # at chunk boundaries below, correcting the tiny f32 drift.
-        a2 = jnp.matmul(st.a0, st.a0)
+        a2 = jnp.matmul(st.a0, st.a0, precision=prec)
         tr_a2 = jnp.sum(st.a0 * st.a0, axis=(-2, -1))
         take_sq = jnp.abs(tr_a2 - noccd) < jnp.abs(2.0 * st.tr_a - tr_a2 - noccd)
         sel = (st.notconverged & take_sq)[:, None, None]

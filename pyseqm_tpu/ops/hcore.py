@@ -11,11 +11,12 @@ from typing import Dict, Optional, Tuple
 
 import jax.numpy as jnp
 
-from ..constants import Constants, OVERLAP_CUTOFF
+from ..constants import Constants, LENGTH_CONVERSION_FACTOR, OVERLAP_CUTOFF
 from ..system import System
 from .multipole import dd_qq, rho1_additive, rho2_additive
 from .overlap import diatom_overlap
-from .tetci import WPack, pair_w_pack
+from .tetci import (WPack, WPackGrid, _core_block_unrolled, _u_rows,
+                    frame_matrix, local_frame_integrals, pair_w_pack)
 
 
 def atom_multipoles(const: Constants, species, p: Dict[str, jnp.ndarray]):
@@ -132,3 +133,116 @@ def hcore(
         from .tetci import to_grid
         return M, to_grid(w, A, iu, ju)
     return M, w
+
+
+def hcore_dense(
+    const: Constants,
+    sys: System,
+    p: Dict[str, jnp.ndarray],
+    pair_outer_cutoff: float = 1.0e10,
+    Kbeta: Optional[jnp.ndarray] = None,
+    precise_overlap: bool = True,
+) -> Tuple[jnp.ndarray, WPackGrid]:
+    """Gather-free ordered-pair (dense-A^2) hcore for large molecules.
+
+    The flat path's cost at large A is per-pair *gathers* (p[:, iu] etc.
+    at ~A^2/2 pairs — measured 122 of 640 ms on the 884-atom workload,
+    reference scale demo tests/test10).  Here every pairwise quantity is
+    built on the full ordered (nmol, A, A) grid by pure row/column
+    broadcasting of per-atom arrays: no gathers, no scatters (diagonal
+    electron-core sums become axis reductions; off-diagonal placement is
+    the computation itself), at 2x the integral FLOPs (both (i, j) and
+    (j, i) evaluate — cheap on the VPU).
+
+    Overlap blocks require the heavier atom first (diatom_overlap's jcall
+    classes): cells with qn_i < qn_j swap roles via selects and transpose
+    the resulting 4x4 block.  The two-electron locals need no swap — each
+    ordered cell computes its own (ri, U) with the bra on the row atom,
+    which is exactly WPackGrid's contract.
+
+    Returns (M, WPackGrid); M matches hcore()'s grid bit-for-layout.
+    """
+    nmol, A = sys.species.shape
+    dtype = sys.coordinates.dtype
+    x = sys.coordinates
+    am = sys.atom_mask
+
+    # ---- dense pair geometry (differentiable) ----
+    dvec = x[:, None, :, :] - x[:, :, None, :]          # [n,i,j] = x_j - x_i
+    eye = jnp.eye(A, dtype=bool)
+    pm = am[:, :, None] & am[:, None, :] & ~eye[None]
+    dist2 = jnp.sum(dvec * dvec, axis=-1)
+    # guard duplicated-atom / diagonal zero distances (cf. basics.py:93)
+    dist2 = jnp.where(dist2 == 0.0, jnp.asarray(1.0e-4, dtype), dist2)
+    dist = jnp.sqrt(dist2)
+    pm = pm & (dist < pair_outer_cutoff)
+    rij = jnp.where(pm, dist * LENGTH_CONVERSION_FACTOR,
+                    jnp.asarray(1.0, dtype))
+    ez = jnp.asarray([0.0, 0.0, 1.0], dtype)
+    xij = jnp.where(pm[..., None], dvec / dist[..., None], ez)
+
+    # ---- overlap x resonance on every ordered cell ----
+    qn = const.qn_int[sys.species]                      # (nmol, A)
+    qni = jnp.broadcast_to(qn[:, :, None], (nmol, A, A))
+    qnj = jnp.broadcast_to(qn[:, None, :], (nmol, A, A))
+    swap = qni < qnj
+    zeta = jnp.stack([p["zeta_s"], p["zeta_p"]], axis=-1)   # (nmol, A, 2)
+    z_i = jnp.broadcast_to(zeta[:, :, None, :], (nmol, A, A, 2))
+    z_j = jnp.broadcast_to(zeta[:, None, :, :], (nmol, A, A, 2))
+    za = jnp.where(swap[..., None], z_j, z_i)
+    zb = jnp.where(swap[..., None], z_i, z_j)
+    xeff = jnp.where(swap[..., None], -xij, xij)
+    ov_mask = pm & (rij <= OVERLAP_CUTOFF)
+    di = diatom_overlap(jnp.maximum(qni, qnj), jnp.minimum(qni, qnj),
+                        xeff, rij, za, zb, precise=precise_overlap)
+    di = jnp.where(swap[..., None, None], jnp.swapaxes(di, -1, -2), di)
+    di = jnp.where(ov_mask[..., None, None], di, 0.0)
+
+    bi = jnp.stack([p["beta_s"], p["beta_p"], p["beta_p"], p["beta_p"]],
+                   axis=-1)                                  # (nmol, A, 4)
+    beta_pair = 0.5 * (bi[:, :, None, :, None] + bi[:, None, :, None, :])
+    off = di * beta_pair
+    if Kbeta is not None:
+        # ML hook ships per-(i<j)-pair scalings; mirror them onto the grid
+        from ..system import pair_index
+        iu, ju = pair_index(A)
+        kg = jnp.zeros((nmol, A, A, 4), dtype=dtype)
+        kg = kg.at[:, iu, ju].set(Kbeta)
+        kb_t = Kbeta[..., jnp.asarray([0, 2, 1, 3])]     # transposed block
+        kg = kg.at[:, ju, iu].set(kb_t)
+        scale = jnp.zeros(off.shape, dtype=dtype)
+        scale = scale.at[..., 0, 0].set(kg[..., 0])
+        scale = scale.at[..., 0, 1:].set(kg[..., 1, None])
+        scale = scale.at[..., 1:, 0].set(kg[..., 2, None])
+        scale = scale.at[..., 1:, 1:].set(kg[..., 3, None, None])
+        off = off * scale
+
+    # ---- two-electron two-center integrals per ordered cell ----
+    mp = atom_multipoles(const, sys.species, p)
+    row = lambda v: v[:, :, None]                        # noqa: E731
+    col = lambda v: v[:, None, :]                        # noqa: E731
+    tore = const.tore[sys.species].astype(dtype)
+    ri, core_a, _ = local_frame_integrals(
+        rij, row(tore), col(tore),
+        row(mp["dd"]), col(mp["dd"]), row(mp["qq"]), col(mp["qq"]),
+        row(mp["rho0"]), col(mp["rho0"]), row(mp["rho1"]), col(mp["rho1"]),
+        row(mp["rho2"]), col(mp["rho2"]))
+    ri = jnp.where(pm[..., None], ri, 0.0)
+    U = frame_matrix(xij)
+    e1b = _core_block_unrolled(_u_rows(U), core_a)
+    e1b = jnp.where(pm[..., None, None], e1b, 0.0)
+
+    # ---- diagonal blocks: U_ss/U_pp + summed electron-core attraction ----
+    # each ordered cell (i, j) is "electron on i, core of j", so the row
+    # sum covers both of the flat path's e1b/e2a scatter halves
+    dblk = jnp.sum(e1b, axis=2)
+    uss = jnp.where(am, p["U_ss"], 0.0)
+    upp = jnp.where(am, p["U_pp"], 0.0)
+    idx = jnp.arange(A)
+    dblk = dblk.at[..., 0, 0].add(uss)
+    for k in (1, 2, 3):
+        dblk = dblk.at[..., k, k].add(upp)
+
+    M = off
+    M = M.at[:, idx, idx].set(dblk)
+    return M, WPackGrid(rig=ri, ug=U)

@@ -59,13 +59,21 @@ _HI = jax.lax.Precision.HIGHEST
 # bf16x3 is ~10% SLOWER than one HIGHEST dot (the three separate dot ops
 # + hi/lo cast VPU passes outweigh the three saved MXU passes) — kept as
 # a documented experiment, default "highest".
+# "compensated": bf16x3 split of BOTH operands, 6 single-pass dots whose
+# partial outputs are combined with error-free two_sum accumulation —
+# SP2 doubles injected dot noise every linear-phase iteration, so the
+# per-dot error sets the converged P's occ-virt subspace noise (and with
+# it the MD force noise); HIGHEST's plain pass combination leaves ~3e-6
+# relative, the compensated sum reaches the single-partial f32
+# accumulator floor (~3e-7).
 DOT_MODE = "highest"
 
 
-def _tdot(Xk, Yk):
+def _tdot(Xk, Yk, mode=None):
     """B = Xk^T Yk at f32-faithful precision (see DOT_MODE)."""
+    mode = DOT_MODE if mode is None else mode
     dn = (((0,), (0,)), ((), ()))
-    if DOT_MODE == "bf16x3":
+    if mode == "bf16x3":
         Xh = Xk.astype(jnp.bfloat16)
         Xl = (Xk - Xh.astype(jnp.float32)).astype(jnp.bfloat16)
         Yh = Yk.astype(jnp.bfloat16)
@@ -73,11 +81,33 @@ def _tdot(Xk, Yk):
         d = lambda a, b: jax.lax.dot_general(
             a, b, dn, preferred_element_type=jnp.float32)
         return d(Xh, Yh) + (d(Xh, Yl) + d(Xl, Yh))
+    if mode == "compensated":
+        def split3(V):
+            h = V.astype(jnp.bfloat16)
+            r = V - h.astype(jnp.float32)
+            m = r.astype(jnp.bfloat16)
+            l = (r - m.astype(jnp.float32)).astype(jnp.bfloat16)
+            return h, m, l
+        Xh, Xm, Xl = split3(Xk)
+        Yh, Ym, Yl = split3(Yk)
+        d = lambda a, b: jax.lax.dot_general(
+            a, b, dn, preferred_element_type=jnp.float32)
+        # partials in decreasing magnitude; two_sum keeps their
+        # combination error-free (dropped m*l / l*l terms ~ 2^-32)
+        s = d(Xh, Yh)
+        err = jnp.zeros_like(s)
+        for t in (d(Xh, Ym), d(Xm, Yh), d(Xh, Yl), d(Xl, Yh), d(Xm, Ym)):
+            new = s + t
+            z = new - s
+            err = err + ((s - (new - z)) + (t - z))
+            s = new
+        return s + err
     return jax.lax.dot_general(Xk, Yk, dn, precision=_HI,
                                preferred_element_type=jnp.float32)
 
 
-def _sp2_kernel(n: int, m: int, K: int, eps: float, nocc_ref, x_ref, out_ref):
+def _sp2_kernel(n: int, m: int, K: int, eps: float, dot_mode: str,
+                nocc_ref, x_ref, out_ref):
     """One program: K panels of m molecules (n x n each), (K*n, TILE)."""
     dtype = x_ref.dtype
     g = pl.program_id(0)
@@ -145,7 +175,7 @@ def _sp2_kernel(n: int, m: int, K: int, eps: float, nocc_ref, x_ref, out_ref):
         a2_panels = []
         for k in range(K):
             Xk = X[k * n:(k + 1) * n]
-            Bk = _tdot(Xk, Xk)
+            Bk = _tdot(Xk, Xk, dot_mode)
             A2k = blockmask[0] * Bk[0:n]
             for i in range(1, m):
                 A2k = A2k + blockmask[i] * Bk[i * n:(i + 1) * n]
@@ -184,11 +214,11 @@ def _sp2_kernel(n: int, m: int, K: int, eps: float, nocc_ref, x_ref, out_ref):
     polish = []
     for k in range(K):
         Xk = X[k * n:(k + 1) * n]
-        Bk = _tdot(Xk, Xk)
+        Bk = _tdot(Xk, Xk, dot_mode)
         A2k = blockmask[0] * Bk[0:n]
         for i in range(1, m):
             A2k = A2k + blockmask[i] * Bk[i * n:(i + 1) * n]
-        B3k = _tdot(Xk, A2k)
+        B3k = _tdot(Xk, A2k, dot_mode)
         A3k = blockmask[0] * B3k[0:n]
         for i in range(1, m):
             A3k = A3k + blockmask[i] * B3k[i * n:(i + 1) * n]
@@ -197,9 +227,9 @@ def _sp2_kernel(n: int, m: int, K: int, eps: float, nocc_ref, x_ref, out_ref):
     out_ref[0] = 2.0 * X
 
 
-@functools.partial(jax.jit, static_argnames=("eps", "interpret"))
+@functools.partial(jax.jit, static_argnames=("eps", "dot_mode", "interpret"))
 def sp2_purify_tpu(a0: jnp.ndarray, nocc: jnp.ndarray, eps: float = 1.0e-2,
-                   interpret: bool = False):
+                   dot_mode: str = "highest", interpret: bool = False):
     """P = 2 * purify(a0) for a batch of pre-scaled iterates.
 
     a0: (B, n, n) float32, n <= 128; nocc: (B,) float occupied counts.
@@ -238,7 +268,8 @@ def sp2_purify_tpu(a0: jnp.ndarray, nocc: jnp.ndarray, eps: float = 1.0e-2,
         # noise floor near 1e-6 (measured) — the 1e-2 floor documented for
         # the v1 kernel was an artifact of Mosaic's single-pass-bf16
         # default dots, not of f32 SP2 itself
-        functools.partial(_sp2_kernel, n, m, KPANEL, float(max(eps, 1.0e-5))),
+        functools.partial(_sp2_kernel, n, m, KPANEL, float(max(eps, 1.0e-5)),
+                          dot_mode),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(X.shape, X.dtype),
         interpret=interpret,

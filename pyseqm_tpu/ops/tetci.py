@@ -453,6 +453,15 @@ def to_grid(pack: WPack, A: int, iu, ju) -> WPackGrid:
     return WPackGrid(rig=rig, ug=ug)
 
 
+def from_grid(wg: WPackGrid, iu, ju) -> WPack:
+    """Extract the flat (i<j) WPack from grid-resident integrals.
+
+    One cheap gather; used when integrals are built dense (hcore_dense)
+    but a consumer prefers the flat contraction path (e.g. the XL force
+    model, whose flat Fock *backward* is faster than the dense one)."""
+    return WPack(ri=wg.rig[:, iu, ju], U=wg.ug[:, iu, ju])
+
+
 def assemble_w(pack: WPack) -> jnp.ndarray:
     """Materialize the full (..., 4,4,4,4) integral tensor (tests only)."""
     return rotate_w(pack.ri, None, U=pack.U)

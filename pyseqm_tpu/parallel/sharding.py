@@ -72,6 +72,43 @@ def sharded_force_fn(const: Constants, tables, cfg: SEQMConfig, mesh: Mesh):
     return ffn
 
 
+def xlbomd_state_specs():
+    """PartitionSpec tree for an XLBOMDState sharded over 'mol'.
+
+    Every field is batch-major except the Pt history ring buffer
+    (m, nmol, 4A, 4A) — sharded on axis 1 — and the RNG key / step
+    counter, which are replicated."""
+    from ..drivers.xlbomd import XLBOMDState
+    return XLBOMDState(
+        coordinates=P("mol"), velocities=P("mol"), acc=P("mol"),
+        D=P("mol"), P=P("mol"), Pt=P(None, "mol"),
+        E0=P("mol"), key=P(), step=P())
+
+
+def sharded_xlbomd_step(md, mesh: Mesh):
+    """Compile one XL-BOMD step with MD state sharded over the mesh.
+
+    The electronic propagation, Hcore/Fock build, SP2 purification and
+    Verlet update are all molecule-local, so the step runs with zero
+    collectives — each shard owns its slice of the trajectory (the
+    TPU-native equivalent of the reference's single-GPU batch loop,
+    MolecularDynamics.py/XLBOMD.py).
+
+    Returns step(species, state) -> (state, observables), jitted."""
+    st_specs = xlbomd_state_specs()
+    from ..drivers.md import Observables
+    obs_specs = Observables(*([P("mol")] * 5))
+
+    @jax.jit
+    @functools.partial(
+        jax.shard_map, mesh=mesh, in_specs=(P("mol"), st_specs),
+        out_specs=(st_specs, obs_specs))
+    def step(species, state):
+        return md.step(species, state)
+
+    return step
+
+
 def make_train_step(const: Constants, tables, cfg: SEQMConfig, mesh: Mesh,
                     param_names=("U_ss", "zeta_s"), lr: float = 1.0e-4):
     """Data-parallel learned-Hamiltonian training step.

@@ -68,6 +68,17 @@ class SCFConfig:
     converger: Tuple = (2,)             # (0, alpha) | (1,) | (2,)
     use_sp2: bool = False
     sp2_eps: float = 1.0e-4
+    # XLA-path SP2 matmul precision: "highest" (6-pass f32-faithful) or
+    # "high" (3-pass, ~2x faster at large n; the f32 trace-eps floor of
+    # 1e-2 tolerates it — noisier converged P, see ops/density.py)
+    sp2_precision: str = "highest"
+    # Pallas-kernel SP2 dot strategy: "highest" | "compensated" (6
+    # single-pass dots + error-free partial accumulation, ~10x less dot
+    # noise -> less SP2-amplified force noise; see sp2_pallas.DOT_MODE)
+    sp2_dots: str = "highest"
+    # refine Gershgorin spectral bounds by Gelfand squaring before SP2
+    # (fewer iterations AND exponentially less amplified noise)
+    sp2_tight_bounds: bool = False
     max_iter: int = 1000
     backward: int = 0                   # 0 HF | 1 adjoint | 2 unrolled
     backward_eps: float = 1.0e-2
@@ -115,7 +126,8 @@ def init_density(const: Constants, sys: System) -> jnp.ndarray:
 
 def _make_density(sys: System, cfg: SCFConfig, differentiable: bool):
     if cfg.use_sp2 and not differentiable:
-        return lambda F: sp2(sys, F, cfg.sp2_eps)
+        return lambda F: sp2(sys, F, cfg.sp2_eps, cfg.sp2_precision,
+                             cfg.sp2_dots, cfg.sp2_tight_bounds)
     return lambda F: sym_eig(sys, F,
                              check_degeneracy=cfg.check_degeneracy)[1]
 

@@ -50,6 +50,39 @@ def test_sharded_force_matches_local(setup):
                                atol=1e-9)
 
 
+def test_sharded_xlbomd_step_matches_local(setup):
+    """XL-BOMD MD state sharded end-to-end over the mesh (VERDICT r2
+    item 9): 2 steps with sharded state == 2 single-device steps."""
+    from jax.sharding import NamedSharding
+    from pyseqm_tpu.drivers.md import MDConfig
+    from pyseqm_tpu.drivers.xlbomd import XLBOMD
+    from pyseqm_tpu.parallel import sharded_xlbomd_step, xlbomd_state_specs
+
+    const, tables, cfg, species, coords = setup
+    md = XLBOMD(const, tables, cfg, MDConfig(timestep=0.4), k=5)
+    st = jax.jit(lambda c: md.initialize(
+        species, c, velocities=jnp.zeros_like(c), initial_force=False))(coords)
+
+    ref = st
+    step1 = jax.jit(lambda s, t: md.step(s, t))
+    for _ in range(2):
+        ref, _ = step1(species, ref)
+
+    mesh = molecule_mesh()
+    st_sh = jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        st, xlbomd_state_specs())
+    sp_sh = shard_molecules(mesh, species)
+    xstep = sharded_xlbomd_step(md, mesh)
+    cur = st_sh
+    for _ in range(2):
+        cur, obs = xstep(sp_sh, cur)
+    np.testing.assert_allclose(np.asarray(cur.coordinates),
+                               np.asarray(ref.coordinates), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(cur.P), np.asarray(ref.P),
+                               atol=1e-9)
+
+
 def test_train_step_reduces_loss(setup):
     const, tables, cfg, species, coords = setup
     cfg = pq.SEQMConfig(

@@ -88,9 +88,13 @@ def main():
 
     if args.stage in ("all", "force"):
         if not os.path.exists(args.cache) or args.stage == "all":
+            # f64 reference on CPU: x64 programs crash the axon TPU
+            # backend, and TPU f64 is emulated anyway
+            env = dict(os.environ, JAX_PLATFORMS="cpu",
+                       JAX_PLATFORM_NAME="cpu")
             r = subprocess.run([sys.executable, HERE, "--stage", "ref64",
                                 "--nmol", str(args.nmol),
-                                "--cache", args.cache])
+                                "--cache", args.cache], env=env)
             if r.returncode:
                 sys.exit(r.returncode)
         _setup(x64=False)
