@@ -19,7 +19,9 @@ import time
 
 NMOL = 10240
 MOLSIZE = 8
-CHUNK = 10
+# scan-chunk length: each chunk dispatch costs ~26 ms through the axon
+# tunnel, so 25 steps/chunk keeps that overhead ~1 ms/step
+CHUNK = 25
 K_XL = 5
 BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "benchmarks", "ref_cpu_baseline.json")
@@ -274,7 +276,7 @@ def bench_nanostar(n_carbons=294, repeats=3):
     const, tables, cfg = pq.build(
         "AM1", dtype=jnp.float32,
         scf=SCFConfig(eps=1.0e-3, converger=(2,), use_sp2=True,
-                      sp2_eps=1.0e-2, max_iter=400))
+                      sp2_eps=1.0e-2, sp2_precision="high", max_iter=400))
     out = jax.block_until_ready(jax.jit(
         lambda c: pq.energy(const, tables, cfg, species, c))(coords))
 

@@ -54,9 +54,12 @@ class SEQMConfig:
     # pairs (C=O).  No effect on f64 inputs.
     precise_overlap: bool = True
     # differentiable-Fock layout when integrals are grid-resident:
-    # None = auto (flat extraction — its backward beat the dense one in
-    # round-2 measurements), True = dense scatter-free Fock, False = flat.
+    # None = auto (dense scatter-free Fock, which wins once the integrals
+    # are grid-built), False = flat extraction.
     dense_fock: Optional[bool] = None
+    # jax.checkpoint the integral stack (recompute in backward instead of
+    # storing intermediates).  None = auto: on for A >= 32.
+    remat_integrals: Optional[bool] = None
 
 
 class EnergyOutput(NamedTuple):
@@ -171,10 +174,13 @@ def _energy_impl(const, tables, cfg, species, coordinates, learned, P0,
     else:
         def build(const, sys, p, Kbeta):
             return hcore(const, sys, p, Kbeta, False, cfg.precise_overlap)
-    hcore_fn = jax.checkpoint(build) if species.shape[1] >= 32 else build
+    remat = cfg.remat_integrals
+    if remat is None:
+        remat = species.shape[1] >= 32
+    hcore_fn = jax.checkpoint(build) if remat else build
     M, w = hcore_fn(const, sys, p, Kbeta)
     P, notconverged = scf_solve(const, sys, M, w, p, cfg.scf, P0)
-    w_f = w if (not dense or cfg.dense_fock) else \
+    w_f = w if (not dense or cfg.dense_fock is not False) else \
         from_grid(w, sys.pair_i, sys.pair_j)
     F = fock(sys, P, M, w_f, p)
     H = grid_to_mat(M)

@@ -79,10 +79,19 @@ def _energy_xl_impl(const, tables, cfg, species, coordinates, P, learned,
     else:
         def build(const, sys, p, Kbeta):
             return hcore(const, sys, p, Kbeta, False, cfg.precise_overlap)
-    hcore_fn = jax.checkpoint(build) if species.shape[1] >= 32 else build
+    remat = cfg.remat_integrals
+    if remat is None:
+        remat = species.shape[1] >= 32
+    hcore_fn = jax.checkpoint(build) if remat else build
     M, w = hcore_fn(const, sys, p, Kbeta)
     H = grid_to_mat(M)
-    w_f = w if (not dense or cfg.dense_fock) else \
+    # dense integrals default to the dense scatter-free Fock: with the
+    # grid built by broadcasting, its backward feeds cotangents straight
+    # into hcore_dense (measured 884-atom force_xl: dense fock 614 ms vs
+    # flat extraction 803 ms; round 2's opposite finding was an artifact
+    # of the then-flat integral build).  dense_fock=False forces the flat
+    # extraction.
+    w_f = w if (not dense or cfg.dense_fock is not False) else \
         from_grid(w, sys.pair_i, sys.pair_j)
     F = fock(sys, P, M, w_f, p)
 
@@ -92,6 +101,13 @@ def _energy_xl_impl(const, tables, cfg, species, coordinates, P, learned,
         D = sp2(sys, jax.lax.stop_gradient(F), cfg.scf.sp2_eps,
                 cfg.scf.sp2_precision, cfg.scf.sp2_dots,
                 cfg.scf.sp2_tight_bounds)
+        if cfg.scf.sp2_rescue > 0.0:
+            from ..ops.density import eigh_rescue
+            # the propagated field P tracks the physical state, so
+            # ||D - P|| scores occupation flips the commutator cannot see
+            D = eigh_rescue(sys, jax.lax.stop_gradient(F), D,
+                            cfg.scf.sp2_rescue,
+                            ref=jax.lax.stop_gradient(P))
     else:
         D = sym_eig(sys, jax.lax.stop_gradient(F))[1]
     D = jax.lax.stop_gradient(D)

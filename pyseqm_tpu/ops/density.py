@@ -12,7 +12,7 @@ per-molecule loops anywhere.
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -121,6 +121,61 @@ def sym_eig(sys: System, F: jnp.ndarray, eig_only: bool = False,
     return e, P, v
 
 
+def _subset_system(sys: System, idx: jnp.ndarray) -> System:
+    """Gather a molecule subset of a System (static pair lists shared)."""
+    import dataclasses
+    return dataclasses.replace(
+        sys,
+        species=sys.species[idx], coordinates=sys.coordinates[idx],
+        charges=sys.charges[idx], atom_mask=sys.atom_mask[idx],
+        heavy_mask=sys.heavy_mask[idx], nheavy=sys.nheavy[idx],
+        nhydro=sys.nhydro[idx], nocc=sys.nocc[idx], norb=sys.norb[idx],
+        zi=sys.zi[idx], zj=sys.zj[idx], pair_mask=sys.pair_mask[idx],
+        rij=sys.rij[idx], xij=sys.xij[idx])
+
+
+def eigh_rescue(sys: System, F: jnp.ndarray, P: jnp.ndarray,
+                frac: float = 1.0 / 64.0,
+                ref: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Re-purify the worst SP2 tail with the exact eigh path.
+
+    SP2's trace-convergence criterion leaves a small tail of molecules
+    (near-degenerate HOMO-LUMO) with a rotated or wrong-occupation
+    subspace — measured p99 |dP| ~ 8e-7 but max ~6e-3 at 10240 molecules,
+    *independent of dot precision* (the tail is algorithmic, not rounding).
+
+    Scoring: a *wrong-occupation* fixed point is still an invariant
+    subspace, so [F, P] = 0 there — the commutator only detects rotated /
+    unconverged iterates.  When a reference density ``ref`` is available
+    (XL-BOMD's propagated field Pt, or the previous SCF iterate) the
+    score ||P - ref||^2 catches occupation flips too, since ref tracks
+    the physical state; otherwise the commutator ||[F, P]||^2 is used
+    (PF = (FP)^T for symmetric operands, so it costs ONE batched matmul).
+    The top ceil(frac * nmol) molecules are re-solved with the Jacobi-eigh
+    kernel (degeneracy-aware fractional occupations) and scattered back.
+    ~4 ms at (10240, 32, 32) for frac = 1/64.
+
+    cf. reference SP2.py whose f64 fixed points show the same
+    wrong-occupation tail (see CLAUDE.md physics notes); the rescue is a
+    capability the reference lacks.
+    """
+    nmol = F.shape[0]
+    k = max(1, int(round(nmol * frac)))
+    if k >= nmol:
+        return sym_eig(sys, F, check_degeneracy=True)[1]
+    if ref is not None:
+        D = P - ref
+        score = jnp.sum(D * D, axis=(-2, -1))
+    else:
+        G = jnp.matmul(F, P, precision=jax.lax.Precision.HIGHEST)
+        C = G - jnp.swapaxes(G, -1, -2)
+        score = jnp.sum(C * C, axis=(-2, -1))
+    _, idx = jax.lax.top_k(score, k)
+    sub = _subset_system(sys, idx)
+    Psub = sym_eig(sub, F[idx], check_degeneracy=True)[1]
+    return P.at[idx].set(Psub)
+
+
 class _SP2State(NamedTuple):
     a0: jnp.ndarray
     tr_a: jnp.ndarray       # running trace (updated from scalars only)
@@ -155,7 +210,7 @@ def _gelfand_radius(Fc, sigma, squarings=2):
 
 def sp2(sys: System, F: jnp.ndarray, eps: float = 1.0e-4,
         precision: str = "highest", dots: str = "highest",
-        tight_bounds: bool = False) -> jnp.ndarray:
+        tight_bounds: bool = False, sort_packing: bool = False) -> jnp.ndarray:
     """SP2 density-matrix purification (cf. SP2.py:3-72).
 
     Pure batched matmuls — the TPU-preferred density path.  Per-molecule
@@ -203,7 +258,20 @@ def sp2(sys: System, F: jnp.ndarray, eps: float = 1.0e-4,
         # padding diagonal at hN -> scaled eigenvalue 0 -> occupation 0
         Fp = Fm + eye[None] * ((1.0 - m) * hN[:, None])[:, None, :]
         a0 = (eye[None] * hN[:, None, None] - Fp) / (hN - h1)[:, None, None]
-        Pp = sp2_pallas.sp2_purify_tpu(a0, noccd, eps_kernel, dots)
+        if sort_packing and a0.shape[0] >= 1024:
+            # each kernel program iterates until the SLOWEST of its 128
+            # molecules converges; sorting by spectral spread groups
+            # similar iteration counts so total time tracks the mean, not
+            # the per-program max.  Measured at 10240x8-atom (homogeneous
+            # jittered batch): 12.26 ms sorted vs 11.26 unsorted — the
+            # gathers cost more than the saved iterations, so default OFF;
+            # worth enabling only for heterogeneous size/species batches.
+            order = jnp.argsort(hN - h1)
+            inv = jnp.argsort(order)
+            Pp = sp2_pallas.sp2_purify_tpu(a0[order], noccd[order],
+                                           eps_kernel, dots)[inv]
+        else:
+            Pp = sp2_pallas.sp2_purify_tpu(a0, noccd, eps_kernel, dots)
         return Pp * mm
 
     perm, inv = orbital_permutation(sys)

@@ -72,7 +72,7 @@ def _xor_perm_lanes(V, d: int, n: int, loc):
     return out
 
 
-def _eigh_kernel(n: int, m: int, K: int, x_ref, g_out, nrm_out):
+def _eigh_kernel(n: int, m: int, K: int, x_ref, g_out, nrm_out, off_out):
     dtype = x_ref.dtype
     loc_full = jax.lax.broadcasted_iota(jnp.int32, (K * n, TILE), 1) % n
     loc_rows = jax.lax.broadcasted_iota(jnp.int32, (K, TILE), 1) % n
@@ -122,6 +122,10 @@ def _eigh_kernel(n: int, m: int, K: int, x_ref, g_out, nrm_out):
     nrm = jnp.sqrt(sum_panels(G * G))
     g_out[0] = G
     nrm_out[0] = nrm
+    # final sweep's per-column max relative off-diagonal gamma^2/(alpha
+    # beta): > OFF_TOL means this column's molecule hit MAX_SWEEPS
+    # unconverged (surfaced by eigh_tpu(with_resid=True))
+    off_out[0] = off
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -140,6 +144,8 @@ def _jacobi_panels(X: jnp.ndarray, interpret: bool = False):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, KPANEL, TILE), lambda g: (g, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, KPANEL, TILE), lambda g: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
     )
     return pl.pallas_call(
@@ -147,6 +153,7 @@ def _jacobi_panels(X: jnp.ndarray, interpret: bool = False):
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct(X.shape, X.dtype),
+            jax.ShapeDtypeStruct((Gn, KPANEL, TILE), X.dtype),
             jax.ShapeDtypeStruct((Gn, KPANEL, TILE), X.dtype),
         ],
         interpret=interpret,
@@ -160,13 +167,20 @@ def _next_pow2(n: int) -> int:
     return p
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def eigh_tpu(A: jnp.ndarray, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("interpret", "with_resid"))
+def eigh_tpu(A: jnp.ndarray, interpret: bool = False,
+             with_resid: bool = False):
     """Batched symmetric eigendecomposition, ascending eigenvalues.
 
     A: (B, n, n) float32.  Returns (e, v) with e (B, n), v (B, n, n)
     column eigenvectors (A v_j = e_j v_j), matching jnp.linalg.eigh's
     layout.  n is padded internally to a power of two <= 128.
+
+    ``with_resid=True`` appends a (B,) per-molecule convergence residual:
+    the final sweep's max relative off-diagonal gamma^2 / (alpha beta).
+    A molecule that silently hit MAX_SWEEPS shows resid > OFF_TOL
+    (converged ones are at ~1e-14); callers (SCF eigh converger, orbital
+    outputs) can surface it like the SCF notconverged flag.
     """
     B, n0, _ = A.shape
     dtype = A.dtype
@@ -207,7 +221,7 @@ def eigh_tpu(A: jnp.ndarray, interpret: bool = False):
     if m * n < TILE:
         X = jnp.pad(X, ((0, 0), (0, 0), (0, TILE - m * n)))
 
-    Gf, nrm = _jacobi_panels(X, interpret=interpret)
+    Gf, nrm, off = _jacobi_panels(X, interpret=interpret)
 
     Gf = (Gf[:, :, :m * n]
           .reshape(Gn, KPANEL, n, m, n)
@@ -216,6 +230,9 @@ def eigh_tpu(A: jnp.ndarray, interpret: bool = False):
     nrm = (nrm[:, :, :m * n]
            .reshape(Gn, KPANEL, m, n)
            .reshape(Gn * per_prog, n))[:B]
+    resid = jnp.max((off[:, :, :m * n]
+                     .reshape(Gn, KPANEL, m, n)
+                     .reshape(Gn * per_prog, n))[:B], axis=-1)
 
     # eigenvalues of A (unsorted): sigma - |column norm|
     e_raw = sigma[:B, None] - nrm
@@ -227,6 +244,8 @@ def eigh_tpu(A: jnp.ndarray, interpret: bool = False):
     if n > n0:
         e = e[:, :n0]
         v = v[:, :n0, :n0]
+    if with_resid:
+        return e, v, resid
     return e, v
 
 

@@ -51,6 +51,18 @@ from jax.experimental.pallas import tpu as pltpu
 TILE = 128
 KPANEL = 32         # panels per grid program (measured best of 8/32)
 MAX_ITER = 100
+# SP2 iterations per while-loop body (cond checks + carry traffic are
+# per-body; converged molecules are masked so the at-most-one extra
+# iteration per program is a no-op).  Measured at (10240, 32, 32):
+# 1/2/4 all within 0.1 ms of 10.9 ms — the loop overhead is negligible;
+# kept at 2 (free, and helps if a future body gets cheaper).
+UNROLL = 2
+# per-molecule segment sums: "roll" = in-block butterfly lane reduction
+# (log2(n) pltpu.roll+add VPU steps, exact, power-of-two n only); "dot" =
+# one (K,TILE)@S HIGHEST 6-pass MXU matvec with the same-molecule mask.
+# Measured identical (the seg matvec was never on the critical path);
+# "roll" keeps the MXU free for the panel dots.
+SEGSUM = "roll"
 # NB: Mosaic supports only DEFAULT (single bf16 pass) and HIGHEST (6-pass)
 # dot precisions; HIGH raises NotImplementedError
 _HI = jax.lax.Precision.HIGHEST
@@ -82,11 +94,14 @@ def _tdot(Xk, Yk, mode=None):
             a, b, dn, preferred_element_type=jnp.float32)
         return d(Xh, Yh) + (d(Xh, Yl) + d(Xl, Yh))
     if mode == "compensated":
+        # split into exactly-bf16-representable f32 parts; the DEFAULT
+        # (single-pass) dot's internal bf16 cast is then lossless.
+        # (Mosaic rejects bf16-typed dot operands outright: "Bad lhs type")
         def split3(V):
-            h = V.astype(jnp.bfloat16)
-            r = V - h.astype(jnp.float32)
-            m = r.astype(jnp.bfloat16)
-            l = (r - m.astype(jnp.float32)).astype(jnp.bfloat16)
+            h = V.astype(jnp.bfloat16).astype(jnp.float32)
+            r = V - h
+            m = r.astype(jnp.bfloat16).astype(jnp.float32)
+            l = (r - m).astype(jnp.bfloat16).astype(jnp.float32)
             return h, m, l
         Xh, Xm, Xl = split3(Xk)
         Yh, Ym, Yl = split3(Yk)
@@ -128,12 +143,26 @@ def _sp2_kernel(n: int, m: int, K: int, eps: float, dot_mode: str,
         jnp.where(col_mol == i, 1.0, 0.0).astype(dtype) for i in range(m)
     ]  # m x (1, TILE)
 
+    loc_rows = jax.lax.broadcasted_iota(jnp.int32, (K, TILE), 1) % n
+
     def seg_cols(rows):
         """(K,TILE) per-column values -> per-molecule sums, per column.
 
-        S is 0/1 so a single-pass bf16 product would *round the data*;
-        HIGHEST keeps the segment sums exact to f32.
+        Power-of-two n: in-block XOR butterfly of lane rolls — log2(n)
+        exact VPU add steps, no MXU (blocks are n-aligned so partners
+        j ^ b never cross a block).  Otherwise one (K,TILE) @ S matvec
+        with the 0/1 same-molecule mask; S is 0/1 so a single-pass bf16
+        product would *round the data* — HIGHEST keeps it exact to f32.
         """
+        if SEGSUM == "roll" and n & (n - 1) == 0:
+            out = rows
+            b = 1
+            while b < n:
+                down = pltpu.roll(out, shift=TILE - b, axis=1)
+                up = pltpu.roll(out, shift=b, axis=1)
+                out = out + jnp.where((loc_rows & b) > 0, up, down)
+                b <<= 1
+            return out
         return jax.lax.dot(rows, S, precision=_HI,
                            preferred_element_type=jnp.float32)
 
@@ -202,8 +231,15 @@ def _sp2_kernel(n: int, m: int, K: int, eps: float, dot_mode: str,
         notconv = notconv * (1.0 - lt_eps * (1.0 - lt_e2))
         return X, tr, e0, e1, e2, notconv, it + 1
 
+    if UNROLL > 1:
+        def body_u(carry):
+            for _ in range(UNROLL):
+                carry = body(carry)
+            return carry
+    else:
+        body_u = body
     X, *_ = jax.lax.while_loop(
-        cond, body, (X, tr, e0, e0, e0, notconv, jnp.asarray(0)))
+        cond, body_u, (X, tr, e0, e0, e0, notconv, jnp.asarray(0)))
 
     # McWeeny polish: SP2's linear phase doubles injected rounding noise
     # every iteration (lambda -> 2 lambda until the quadratic clamp), so

@@ -79,6 +79,13 @@ class SCFConfig:
     # refine Gershgorin spectral bounds by Gelfand squaring before SP2
     # (fewer iterations AND exponentially less amplified noise)
     sp2_tight_bounds: bool = False
+    # XL-BOMD only: re-purify the worst frac of molecules (scored by
+    # ||D - Pt|| against the propagated field, which catches SP2's
+    # wrong-occupation flips) with the exact degeneracy-aware eigh path
+    # after SP2 — ~4 ms per 10k molecules (ops/density.py eigh_rescue).
+    # 0 = off.  The SCF loop ignores it: a wrong-occupation SCF solution
+    # is itself self-consistent, so no post-hoc score can identify it.
+    sp2_rescue: float = 0.0
     max_iter: int = 1000
     backward: int = 0                   # 0 HF | 1 adjoint | 2 unrolled
     backward_eps: float = 1.0e-2

@@ -87,6 +87,22 @@ def test_eigh_kernel_interpret_parity():
     np.testing.assert_allclose(e, e_ref, atol=5e-4 * nrm)
 
 
+def test_eigh_kernel_convergence_resid():
+    # with_resid surfaces the silent-MAX_SWEEPS case (ADVICE r2): a
+    # converged batch reports resid <= OFF_TOL for every molecule
+    from pyseqm_tpu.ops.eigh_pallas import OFF_TOL
+    B, n = 16, 32
+    A = jax.random.normal(jax.random.PRNGKey(5), (B, n, n), jnp.float32)
+    A = 0.5 * (A + jnp.swapaxes(A, -1, -2)) * 5.0
+    e, v, resid = eigh_tpu(A, interpret=True, with_resid=True)
+    assert resid.shape == (B,)
+    assert (np.asarray(resid) <= OFF_TOL).all()
+    # identical decomposition either way
+    e2, v2 = eigh_tpu(A, interpret=True)
+    np.testing.assert_array_equal(np.asarray(e), np.asarray(e2))
+    np.testing.assert_array_equal(np.asarray(v), np.asarray(v2))
+
+
 def test_eigh_kernel_nonpow2_and_degenerate():
     # n=24 exercises the power-of-two padding; an exact double eigenvalue
     # exercises the cluster robustness jnp.linalg.eigh JVPs lack

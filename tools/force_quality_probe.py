@@ -35,7 +35,7 @@ def _setup(x64):
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-def build(dtype, use_sp2):
+def build(dtype, use_sp2, rescue=0.0):
     import jax.numpy as jnp  # noqa: F401
     import pyseqm_tpu as pq
     from pyseqm_tpu.scf import SCFConfig
@@ -44,8 +44,12 @@ def build(dtype, use_sp2):
     cfg = pq.SEQMConfig(method="AM1",
                         scf=SCFConfig(eps=1.0e-5, converger=(2,),
                                       use_sp2=use_sp2, sp2_eps=1.0e-2,
-                                      max_iter=200))
+                                      sp2_rescue=rescue, max_iter=200))
     return const, tables, cfg
+
+
+VARIANTS = ((True, 0.0, "sp2"), (True, 1.0 / 64.0, "sp2+rescue"),
+            (False, 0.0, "eigh"))
 
 
 def batch_geom(nmol):
@@ -105,8 +109,8 @@ def main():
         ref = np.load(args.cache)
         sp, co = batch_geom(args.nmol)
         species = jnp.asarray(sp, jnp.int32)
-        for use_sp2, tag in ((True, "sp2"), (False, "eigh")):
-            c32, t32, g32 = build(jnp.float32, use_sp2)
+        for use_sp2, rescue, tag in VARIANTS:
+            c32, t32, g32 = build(jnp.float32, use_sp2, rescue)
             f32v, hf32, _ = jax.jit(lambda c, P: force_xl(
                 c32, t32, g32, species, c, P))(
                     jnp.asarray(co, jnp.float32),
@@ -129,8 +133,8 @@ def main():
         from pyseqm_tpu.drivers.xlbomd import XLBOMD
         sp, co = batch_geom(args.nmol)
         species = jnp.asarray(sp, jnp.int32)
-        for use_sp2, tag in ((True, "sp2"), (False, "eigh")):
-            c32, t32, g32 = build(jnp.float32, use_sp2)
+        for use_sp2, rescue, tag in VARIANTS:
+            c32, t32, g32 = build(jnp.float32, use_sp2, rescue)
             md = XLBOMD(c32, t32, g32, MDConfig(timestep=0.4), k=5)
             st = jax.jit(lambda c: md.initialize(
                 species, c, key=jax.random.PRNGKey(11), Temp=300.0))(
