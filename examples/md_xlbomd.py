@@ -18,7 +18,7 @@ def main():
     const, tables, cfg = pq.build(
         "AM1", dtype=jnp.float32,
         scf=SCFConfig(eps=1.0e-5, converger=(2,), use_sp2=True,
-                      sp2_eps=1.0e-2))
+                      sp2_eps=1.0e-4))
     sp, co = make_batch(64, molsize=8, jitter=0.02)
     species = jnp.asarray(sp)
     coords = jnp.asarray(co, dtype=jnp.float32)

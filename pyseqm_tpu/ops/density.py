@@ -95,6 +95,11 @@ def sym_eig(sys: System, F: jnp.ndarray, eig_only: bool = False,
     density P = 2 V_occ V_occ^T in the original orbital layout, and the
     eigenvectors v in the *packed* (permuted) layout.
     """
+    # materialize F once: the prep consumes it several times (permute,
+    # Gershgorin, padding fill) and XLA otherwise re-fuses the producer
+    # chain (hcore+fock) into each consumer — measured +10 ms at
+    # (10240, 32, 32) on the SP2 side of the same boundary
+    F = jax.lax.optimization_barrier(F)
     perm, inv = orbital_permutation(sys)
     Fp = permute_mat(F, perm)
     h1, hN = _gershgorin(Fp)
@@ -223,6 +228,11 @@ def sp2(sys: System, F: jnp.ndarray, eps: float = 1.0e-4,
     floor of 1e-2 tolerates "high" — see SCFConfig.sp2_precision).  The
     Pallas kernel path always runs HIGHEST-precision dots.
     """
+    # materialize F once before the multi-consumer prep (mask multiply,
+    # Gershgorin, a0 build): without this barrier XLA re-fuses the whole
+    # upstream hcore+fock chain into each consumer — measured 25.6 ms for
+    # fock+sp2 fused vs 15.2 ms with the barrier at (10240, 32, 32)
+    F = jax.lax.optimization_barrier(F)
     dtype = F.dtype
     f32 = dtype == jnp.float32
     eps_kernel = max(eps, 1.0e-5)   # pallas kernel: exact-f32 dots

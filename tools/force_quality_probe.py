@@ -43,7 +43,7 @@ def build(dtype, use_sp2, rescue=0.0):
     tables = pq.load_element_tables("AM1", dtype=dtype)
     cfg = pq.SEQMConfig(method="AM1",
                         scf=SCFConfig(eps=1.0e-5, converger=(2,),
-                                      use_sp2=use_sp2, sp2_eps=1.0e-2,
+                                      use_sp2=use_sp2, sp2_eps=1.0e-4,
                                       sp2_rescue=rescue, max_iter=200))
     return const, tables, cfg
 
