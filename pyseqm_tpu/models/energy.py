@@ -195,14 +195,23 @@ def _energy_impl(const, tables, cfg, species, coordinates, learned, P0,
         r0b = 0.5 * EV / jnp.where(pm, gb, 1.0)
         gam = jnp.where(pm, EV / jnp.sqrt(sys.rij ** 2 + (r0a + r0b) ** 2), 0.0)
     elif hasattr(w, "rig"):
-        gam = w.rig[:, sys.pair_i, sys.pair_j, 0]
+        gam = None
     else:
         gam = w.ri[..., 0]  # (s_i s_i | s_j s_j)
-    EnucAB = pair_nuclear_energy(const, sys, gam, cfg.method, p)
+    if gam is None:
+        # grid-resident gamma: gather-free nuclear term (the flat gam
+        # gather's backward is a large TPU scatter at ~A^2/2 pairs)
+        from ..ops.energy import pair_nuclear_energy_dense
+        EnucAB, enuc_mask = pair_nuclear_energy_dense(
+            const, sys, w.rig[..., 0], cfg.method, p, cfg.pair_outer_cutoff)
+    else:
+        EnucAB = pair_nuclear_energy(const, sys, gam, cfg.method, p)
+        enuc_mask = None
     Eiso = elec_energy_isolated_atom(const, sys.species, p)
     # compensated assembly: Hf is a ~2 eV difference of ~1e3 eV terms
     Hf, Etot, Eel, Enuc, Eiso_sum = assemble_energies(
-        const, sys, elec_energy_tf(P, F, H), EnucAB, Eiso, cfg.hf_flag)
+        const, sys, elec_energy_tf(P, F, H), EnucAB, Eiso, cfg.hf_flag,
+        pair_mask=enuc_mask)
 
     e = charge = None
     if cfg.eig:

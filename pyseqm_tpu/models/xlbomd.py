@@ -112,13 +112,21 @@ def _energy_xl_impl(const, tables, cfg, species, coordinates, P, learned,
         D = sym_eig(sys, jax.lax.stop_gradient(F))[1]
     D = jax.lax.stop_gradient(D)
 
-    gam = (w.rig[:, sys.pair_i, sys.pair_j, 0] if hasattr(w, "rig")
-           else w.ri[..., 0])
-    EnucAB = pair_nuclear_energy(const, sys, gam, cfg.method, p)
+    if hasattr(w, "rig"):
+        # grid-resident gamma: keep the nuclear term gather-free too (the
+        # flat gam gather's backward is a large TPU scatter at ~A^2/2
+        # pairs — it dominated the 884-atom force step)
+        from ..ops.energy import pair_nuclear_energy_dense
+        EnucAB, enuc_mask = pair_nuclear_energy_dense(
+            const, sys, w.rig[..., 0], cfg.method, p, cfg.pair_outer_cutoff)
+    else:
+        EnucAB = pair_nuclear_energy(const, sys, w.ri[..., 0], cfg.method, p)
+        enuc_mask = None
     Eiso = elec_energy_isolated_atom(const, sys.species, p)
     # compensated assembly (see ops/xsum.py): Hf cancellation stays exact
     Hf, Etot, Eelec, Enuc, Eiso_sum = assemble_energies(
-        const, sys, elec_energy_xl_tf(D, P, F, H), EnucAB, Eiso, cfg.hf_flag)
+        const, sys, elec_energy_xl_tf(D, P, F, H), EnucAB, Eiso, cfg.hf_flag,
+        pair_mask=enuc_mask)
     return XLEnergyOutput(Hf, Etot, Eelec, Enuc, Eiso_sum, EnucAB, D)
 
 

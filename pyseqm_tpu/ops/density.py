@@ -215,7 +215,8 @@ def _gelfand_radius(Fc, sigma, squarings=2):
 
 def sp2(sys: System, F: jnp.ndarray, eps: float = 1.0e-4,
         precision: str = "highest", dots: str = "highest",
-        tight_bounds: bool = False, sort_packing: bool = False) -> jnp.ndarray:
+        tight_bounds: bool = False, sort_packing: bool = False,
+        debug_iters: bool = False):
     """SP2 density-matrix purification (cf. SP2.py:3-72).
 
     Pure batched matmuls — the TPU-preferred density path.  Per-molecule
@@ -282,6 +283,8 @@ def sp2(sys: System, F: jnp.ndarray, eps: float = 1.0e-4,
                                            eps_kernel, dots)[inv]
         else:
             Pp = sp2_pallas.sp2_purify_tpu(a0, noccd, eps_kernel, dots)
+        if debug_iters:
+            return Pp * mm, jnp.asarray(-1)   # kernel path: count not exposed
         return Pp * mm
 
     perm, inv = orbital_permutation(sys)
@@ -309,6 +312,19 @@ def sp2(sys: System, F: jnp.ndarray, eps: float = 1.0e-4,
             "high": jax.lax.Precision.HIGH,
             "default": jax.lax.Precision.DEFAULT}[precision]
 
+    def frob2(a):
+        # tr(a^2) = |a|_F^2 for symmetric a, computed ROW-FIRST: a flat
+        # 12.5M-element f32 reduce at n~3536 carries a ~1e-2 noise floor
+        # (per-lane sequential chains of ~n^2/1024 terms; random-walk
+        # error ~ sqrt(chain) * eps * tr), which sits exactly at the
+        # f32 eps floor — convergence then depends on the reduction
+        # order XLA picks and on ulp-level input changes (measured on
+        # the 884-atom alkane: 32 iterations from one input, the
+        # 200-iteration cap from an input perturbed by 1e-9 A).  Row
+        # sums are ~[0,1] each with ~1e-6 error, so the cross-row sum's
+        # floor drops to ~1e-4, well under the 1e-2 criterion.
+        return jnp.sum(jnp.sum(a * a, axis=-1), axis=-1)
+
     def body_masked(st):
         # ONE reduction per iteration: tr(a^2) = |a|_F^2 (a stays
         # symmetric).  tr(a_new) follows from scalars; mixing a second
@@ -316,7 +332,7 @@ def sp2(sys: System, F: jnp.ndarray, eps: float = 1.0e-4,
         # pathology (~10x slowdown), so the exact trace is refreshed only
         # at chunk boundaries below, correcting the tiny f32 drift.
         a2 = jnp.matmul(st.a0, st.a0, precision=prec)
-        tr_a2 = jnp.sum(st.a0 * st.a0, axis=(-2, -1))
+        tr_a2 = frob2(st.a0)
         take_sq = jnp.abs(tr_a2 - noccd) < jnp.abs(2.0 * st.tr_a - tr_a2 - noccd)
         sel = (st.notconverged & take_sq)[:, None, None]
         nc = st.notconverged[:, None, None]
@@ -348,4 +364,7 @@ def sp2(sys: System, F: jnp.ndarray, eps: float = 1.0e-4,
     st = jax.lax.while_loop(cond, chunk, st)
     P = permute_mat(2.0 * st.a0, inv)
     m = orbital_mask(sys).astype(dtype)
-    return P * m[:, :, None] * m[:, None, :]
+    P = P * m[:, :, None] * m[:, None, :]
+    if debug_iters:
+        return P, st.k        # body_masked increments k per iteration
+    return P

@@ -80,6 +80,64 @@ def pair_nuclear_energy(const: Constants, sys: System, gam, method: str,
     return jnp.where(sys.pair_mask, enuc, 0.0)
 
 
+def pair_nuclear_energy_dense(const: Constants, sys: System, gam_grid,
+                              method: str, p: Dict[str, jnp.ndarray],
+                              pair_outer_cutoff: float = 1.0e10,
+                              ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Gather-free core-core repulsion on the ordered (nmol, A, A) grid.
+
+    The flat path gathers every per-atom parameter and the grid gamma at
+    ~A^2/2 pairs; at 884 atoms those gathers' backward turns into large
+    TPU scatters that dominated the XL force step.  Here everything is
+    row/column broadcasting (cf. energy.py:38-78 for the physics), the
+    upper triangle (i < j) selects each pair once, and — atoms being
+    sorted by descending Z — the row atom is the heavier one, matching
+    the flat path's (zi >= zj) convention exactly.
+
+    gam_grid: (nmol, A, A) = WPackGrid.rig[..., 0].
+    Returns (EnucAB_grid flattened to (nmol, A*A), matching flat mask).
+    """
+    nmol, A = sys.species.shape
+    dtype = sys.coordinates.dtype
+    x = sys.coordinates
+    am = sys.atom_mask
+    Z = sys.species
+
+    dvec = x[:, None, :, :] - x[:, :, None, :]
+    dist2 = jnp.sum(dvec * dvec, axis=-1)
+    dist2 = jnp.where(dist2 == 0.0, jnp.asarray(1.0e-4, dtype), dist2)
+    rija = jnp.sqrt(dist2)                       # Angstrom
+    idx = jnp.arange(A)
+    tri = idx[:, None] < idx[None, :]
+    pm = (am[:, :, None] & am[:, None, :] & tri[None]
+          & (rija < pair_outer_cutoff))
+    rija = jnp.where(pm, rija, jnp.asarray(1.0, dtype))
+
+    row = lambda v: v[:, :, None]                # noqa: E731
+    col = lambda v: v[:, None, :]                # noqa: E731
+    tore = const.tore[Z].astype(dtype)
+    t1 = row(tore) * col(tore) * gam_grid
+    xh = ((row(Z) == 7) | (row(Z) == 8)) & (col(Z) == 1)
+    t2 = _exp(-row(p["alpha"]) * rija) * jnp.where(xh, rija, 1.0)
+    t3 = _exp(-col(p["alpha"]) * rija)
+    enuc = t1 * (1.0 + t2 + t3)
+
+    if method != "MNDO":
+        ng = {"AM1": 4, "PM3": 2}[method]
+        K = jnp.stack([p[f"Gaussian{g+1}_K"] for g in range(ng)], axis=-1)
+        L = jnp.stack([p[f"Gaussian{g+1}_L"] for g in range(ng)], axis=-1)
+        Mg = jnp.stack([p[f"Gaussian{g+1}_M"] for g in range(ng)], axis=-1)
+        r = rija[..., None]
+        rw = lambda v: v[:, :, None, :]          # noqa: E731
+        cl = lambda v: v[:, None, :, :]          # noqa: E731
+        t5 = jnp.sum(rw(K) * _exp(-rw(L) * (r - rw(Mg)) ** 2), axis=-1)
+        t6 = jnp.sum(cl(K) * _exp(-cl(L) * (r - cl(Mg)) ** 2), axis=-1)
+        enuc = enuc + row(tore) * col(tore) / rija * (t5 + t6)
+
+    enuc = jnp.where(pm, enuc, 0.0)
+    return enuc.reshape(nmol, A * A), pm.reshape(nmol, A * A)
+
+
 def total_energy(EnucAB, Eelec) -> Tuple[jnp.ndarray, jnp.ndarray]:
     Enuc = jnp.sum(EnucAB, axis=-1)
     return Eelec + Enuc, Enuc
@@ -96,7 +154,7 @@ def heat_formation(const: Constants, sys: System, Etot, Eiso, hf_flag=True):
 
 
 def assemble_energies(const: Constants, sys: System, Eelec_tf: TwoFloat,
-                      EnucAB, Eiso, hf_flag=True):
+                      EnucAB, Eiso, hf_flag=True, pair_mask=None):
     """Hf / Etot / Enuc / Eiso_sum with every large accumulation and the
     Etot - Eiso cancellation carried as compensated f32 pairs (xsum.py).
 
@@ -107,7 +165,9 @@ def assemble_energies(const: Constants, sys: System, Eelec_tf: TwoFloat,
     combination needs the extended precision).
     """
     m = sys.atom_mask
-    Enuc_tf = csum(jnp.where(sys.pair_mask, EnucAB, 0.0))
+    if pair_mask is None:
+        pair_mask = sys.pair_mask
+    Enuc_tf = csum(jnp.where(pair_mask, EnucAB, 0.0))
     Eiso_tf = csum(jnp.where(m, Eiso, 0.0))
     Etot_tf = tf_add(Eelec_tf, Enuc_tf)
     Hf_tf = tf_add(Etot_tf, tf_neg(Eiso_tf))

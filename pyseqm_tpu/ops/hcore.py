@@ -77,7 +77,13 @@ def hcore(
     qn_i = const.qn_int[sys.zi]
     qn_j = const.qn_int[sys.zj]
     ov_mask = sys.pair_mask & (sys.rij <= OVERLAP_CUTOFF)
-    di = diatom_overlap(qn_i, qn_j, sys.xij, sys.rij,
+    # evaluate masked-out pairs at a harmless rij: beyond the cutoff the
+    # S-combination prefactors (~r^5) times the clamped B integrals
+    # (~e^85) overflow f32 in the *backward* (the A-integral cotangent is
+    # B * r^5-prefactor > 3.4e38 once rij > ~215 Bohr), and inf * dA(=0)
+    # turns the zero cotangent the where() sends here into NaN forces
+    rij_ov = jnp.where(ov_mask, sys.rij, jnp.asarray(1.0, dtype))
+    di = diatom_overlap(qn_i, qn_j, sys.xij, rij_ov,
                         zeta[:, iu], zeta[:, ju], precise=precise_overlap)
     di = jnp.where(ov_mask[..., None, None], di, 0.0)
 
@@ -193,8 +199,11 @@ def hcore_dense(
     zb = jnp.where(swap[..., None], z_i, z_j)
     xeff = jnp.where(swap[..., None], -xij, xij)
     ov_mask = pm & (rij <= OVERLAP_CUTOFF)
+    # sanitize rij beyond the overlap cutoff (same f32 backward-overflow
+    # guard as the flat path above: r^5 * e^85 cotangents at ~370 A pairs)
+    rij_ov = jnp.where(ov_mask, rij, jnp.asarray(1.0, dtype))
     di = diatom_overlap(jnp.maximum(qni, qnj), jnp.minimum(qni, qnj),
-                        xeff, rij, za, zb, precise=precise_overlap)
+                        xeff, rij_ov, za, zb, precise=precise_overlap)
     di = jnp.where(swap[..., None, None], jnp.swapaxes(di, -1, -2), di)
     di = jnp.where(ov_mask[..., None, None], di, 0.0)
 

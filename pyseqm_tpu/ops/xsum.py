@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from typing import NamedTuple, Tuple
 
+import jax
 import jax.numpy as jnp
 
 
@@ -147,13 +148,19 @@ def tf_scale(x: TwoFloat, c: float) -> TwoFloat:
     return TwoFloat(x.hi * c, x.lo * c)
 
 
-def csum(x: jnp.ndarray, axis: int = -1) -> TwoFloat:
-    """Compensated sum along `axis`: pairwise tree of two_sums.
+@jax.custom_jvp
+def _csum_last(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(hi, lo) compensated sum over the last axis (pairwise two_sum tree).
 
-    Returns a TwoFloat with the axis reduced.  Works for any length
-    (odd levels carry the stray element down).
+    Custom differentiation rule because hi + lo == sum(x) *exactly*
+    (error-free transformation): the true derivative is 1 per element, so
+    the tangent is a plain sum and the transposed cotangent a broadcast —
+    without this, AD walks the whole O(log n)-level slice/concat tree
+    (measured as a major cost in the 884-atom force backward, where
+    n = A^2 * 16 ~ 1.25e7).  custom_jvp (not _vjp) so forward-over-
+    reverse Hessians keep working; JAX transposes the linear sum rule
+    into the broadcast VJP automatically.
     """
-    x = jnp.moveaxis(x, axis, -1)
     err = jnp.zeros(x.shape[:-1], x.dtype)
     while x.shape[-1] > 1:
         n = x.shape[-1]
@@ -166,7 +173,27 @@ def csum(x: jnp.ndarray, axis: int = -1) -> TwoFloat:
             s = jnp.concatenate([s, x[..., -1:]], axis=-1)
         err = err + jnp.sum(e, axis=-1)
         x = s
-    return TwoFloat(x[..., 0], err)
+    return x[..., 0], err
+
+
+@_csum_last.defjvp
+def _csum_last_jvp(primals, tangents):
+    (x,), (t,) = primals, tangents
+    hi, lo = _csum_last(x)
+    # d hi/dx_i = 1, d lo/dx_i = 0 (lo is the rounding residual)
+    return (hi, lo), (jnp.sum(t, axis=-1), jnp.zeros_like(lo))
+
+
+def csum(x: jnp.ndarray, axis: int = -1) -> TwoFloat:
+    """Compensated sum along `axis`: pairwise tree of two_sums.
+
+    Returns a TwoFloat with the axis reduced.  Works for any length
+    (odd levels carry the stray element down).  Differentiable: the
+    error-free transformation's exact gradient (1 per element) is wired
+    as a custom VJP on the tree.
+    """
+    x = jnp.moveaxis(x, axis, -1)
+    return TwoFloat(*_csum_last(x))
 
 
 def csum2(x: jnp.ndarray) -> TwoFloat:

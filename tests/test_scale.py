@@ -2,6 +2,8 @@
 alkane (92 atoms, 362 orbitals) through SCF energy + forces.  Exercises
 the long-range pair regime (overlap-cutoff masking, near-axis frame
 stability, exp-overflow clamps) that only appears beyond ~50 Angstrom."""
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -29,6 +31,35 @@ def test_c100_alkane_forces():
     assert -30.0 < hf < -22.0, hf
     assert np.isfinite(np.asarray(f)).all()
     np.testing.assert_allclose(np.asarray(f[0]).sum(axis=0), 0.0, atol=1e-7)
+
+
+def test_f32_forces_finite_beyond_overlap_cutoff():
+    """Regression: pairs far beyond the 40-Bohr overlap cutoff must not
+    poison the f32 force backward.  The precise (two-float) overlap path
+    evaluated at raw rij produces inf intermediates past ~85 Bohr whose
+    zero masked cotangents turn into NaN (found on the 884-atom nanostar:
+    every step-1 force was NaN, which fed back into coordinates and drove
+    SP2 to its iteration cap).  hcore now sanitizes rij to 1 outside the
+    overlap mask before the integral."""
+    # water dimer at 60 A (113 Bohr) separation: O-H cross pairs have the
+    # largest zeta mismatch (worst B-integral magnitude)
+    z = np.array([[8, 1, 1, 8, 1, 1]])
+    x = np.zeros((1, 6, 3))
+    x[0, 1] = [0.96, 0.0, 0.0]
+    x[0, 2] = [-0.24, 0.93, 0.0]
+    x[0, 3:] = x[0, :3] + np.array([60.0, 0.0, 0.0])
+    species = jnp.asarray(z)
+    coords = jnp.asarray(x, jnp.float32)
+    const, tables, cfg = pq.build(
+        "AM1", dtype=jnp.float32,
+        scf=SCFConfig(eps=1.0e-5, converger=(2,)))
+    assert cfg.precise_overlap
+    for dense in (False, True):
+        c = dataclasses.replace(cfg, dense_pair_grid=dense)
+        f, out = jax.jit(
+            lambda cc, c=c: pq.force(const, tables, c, species, cc))(coords)
+        assert np.isfinite(np.asarray(f)).all(), f"dense={dense}"
+        assert np.isfinite(float(out.Hf[0]))
 
 
 def test_large_alkane_energy_forces():
