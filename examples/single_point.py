@@ -5,6 +5,12 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
+# honor JAX_PLATFORMS=cpu: the axon TPU plugin ignores the env var alone,
+# and with the tunnel down the import would hang trying to reach the chip
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
 import jax
 import jax.numpy as jnp
 

@@ -39,7 +39,7 @@ def _setup(x64):
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-def run(dtype, species, coords, precise, eps):
+def run(dtype, species, coords, precise, eps, sp2=False):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -48,9 +48,13 @@ def run(dtype, species, coords, precise, eps):
 
     const = pq.make_constants(dtype=dtype)
     tables = pq.load_element_tables("AM1", dtype=dtype)
-    cfg = pq.SEQMConfig(method="AM1",
-                        scf=SCFConfig(eps=eps, converger=(2,)),
-                        precise_overlap=precise)
+    # sp2=True mirrors the headline bench density path (SP2 kernel at
+    # sp2_eps=1e-4) so the force error the drift table integrates is
+    # measured directly, not via the eigh converger
+    scf = (SCFConfig(eps=eps, converger=(2,), use_sp2=True,
+                     sp2_eps=1.0e-4, max_iter=200) if sp2
+           else SCFConfig(eps=eps, converger=(2,)))
+    cfg = pq.SEQMConfig(method="AM1", scf=scf, precise_overlap=precise)
     sp = jnp.asarray(species, jnp.int32)
     co = jnp.asarray(coords, dtype)
     f, out = jax.jit(lambda c: pq.force(const, tables, cfg, sp, c))(co)
@@ -81,6 +85,9 @@ def main():
     ap.add_argument("--stage", choices=["all", "golden", "ref64", "batch"],
                     default="all")
     ap.add_argument("--cache", default="/tmp/acc_ref64.npz")
+    ap.add_argument("--sp2", action="store_true",
+                    help="use the headline SP2-kernel density path "
+                         "(sp2_eps=1e-4) instead of the eigh converger")
     args = ap.parse_args()
 
     if args.stage in ("all", "golden"):
@@ -88,12 +95,13 @@ def main():
         import jax.numpy as jnp
         import numpy as np
         g = np.load(GOLDEN)
+        eps_g = 1.0e-5 if args.sp2 else 1.0e-7
         for precise in (True, False):
             hf, f, nc = run(jnp.float32, g["species"], g["coordinates"],
-                            precise, 1.0e-7)
+                            precise, eps_g, sp2=args.sp2)
             assert not nc.any()
-            report(f"golden_f32_precise={precise}", hf, f, g["Hf"],
-                   g["force"])
+            report(f"golden_f32_sp2={args.sp2}_precise={precise}", hf, f,
+                   g["Hf"], g["force"])
 
     if args.stage == "ref64":
         _setup(x64=True)
@@ -120,11 +128,13 @@ def main():
         import numpy as np
         ref = np.load(args.cache)
         sp, co = batch_geom(args.nmol)
+        eps_b = 1.0e-5 if args.sp2 else 1.0e-7
         for precise in (True, False):
-            hf, f, nc = run(jnp.float32, sp, np.float32(co), precise, 1.0e-7)
+            hf, f, nc = run(jnp.float32, sp, np.float32(co), precise, eps_b,
+                            sp2=args.sp2)
             assert not nc.any()
-            report(f"batch{args.nmol}_f32_precise={precise}", hf, f,
-                   ref["hf"], ref["f"])
+            report(f"batch{args.nmol}_f32_sp2={args.sp2}_precise={precise}",
+                   hf, f, ref["hf"], ref["f"])
 
 
 if __name__ == "__main__":
