@@ -29,6 +29,7 @@ elements, diat_overlap.py:65-72).
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from .accmath import exp as _exp
@@ -213,33 +214,21 @@ def _ab_tf(rij, z1, z2):
             b_integrals_tf(_arg_tf(rij, z1, z2, -1.0)))
 
 
-def diatom_overlap(qni, qnj, xij, rij, zeta_i, zeta_j, precise=False):
-    """Overlap 4x4 block between the AOs of an (i, j) pair.
+def _s_combinations(rij, zsi, zpi, zsj, zpj, jcall2, jcall3, jcall4,
+                    precise):
+    """The five independent sigma/pi overlap combinations (pre-rotation).
 
-    Args:
-      qni, qnj: (...,) int valence principal quantum numbers (i heavier: qni>=qnj).
-      xij: (..., 3) unit vector i->j.
-      rij: (...,) distance in Bohr.
-      zeta_i, zeta_j: (..., 2) [zeta_s, zeta_p] orbital exponents.
-      precise: evaluate the A/B chain in double-float (f32 inputs only;
-        matches the reference's f64 numerics to ~1e-8 absolute).
-
-    Returns: (..., 4, 4) overlap in the molecular frame (rows: AOs on i).
+    Returns (S111, S211, S121, S221, S222) for ss, ps-s, s-ps, pp-sigma,
+    pp-pi (cf. diat_overlap.py:253-365, the SET/A-B combination tables).
     """
     dtype = rij.dtype
-    if precise and dtype == jnp.float32:
+    if precise:
         ab = lambda z1, z2: _ab_tf(rij, z1, z2)           # noqa: E731
         val = lambda t: t.value()                          # noqa: E731
     else:
         ab = lambda z1, z2: _ab_plain(rij, z1, z2)         # noqa: E731
         val = lambda t: t                                  # noqa: E731
 
-    jcall2 = (qni == 1) & (qnj == 1)
-    jcall3 = (qni == 2) & (qnj == 1)
-    jcall4 = (qni == 2) & (qnj == 2)
-
-    zsi, zpi = zeta_i[..., 0], zeta_i[..., 1]
-    zsj, zpj = zeta_j[..., 0], zeta_j[..., 1]
     r2 = rij * rij
     r4 = r2 * r2
     r5 = r4 * rij
@@ -278,6 +267,64 @@ def diatom_overlap(qni, qnj, xij, rij, zeta_i, zeta_j, precise=False):
                             - A[2] * B[0] + B[2] * A[0])
     S221 = jnp.where(jcall4, s221_4, 0.0).astype(dtype)
     S222 = jnp.where(jcall4, s222_4, 0.0).astype(dtype)
+    return S111, S211, S121, S221, S222
+
+
+@jax.custom_jvp
+def _s_combinations_tf(rij, zsi, zpi, zsj, zpj, jcall2, jcall3, jcall4):
+    return _s_combinations(rij, zsi, zpi, zsj, zpj,
+                           jcall2, jcall3, jcall4, True)
+
+
+@_s_combinations_tf.defjvp
+def _s_combinations_tf_jvp(primals, tangents):
+    """Double-float primal, plain-f32 tangent.
+
+    Only the *value* of S needs the extended precision (it feeds the
+    alternating-sign Hf cancellation); its derivative feeds forces, whose
+    f32 noise floor (~2e-4 eV/A) is orders above the ~1e-7 relative gap
+    between the plain and double-float derivative.  Without this rule AD
+    walks every two_sum/two_prod/exp_tf in the chain — measured as the
+    dominant hcore-backward cost.  custom_jvp (not vjp) keeps
+    forward-over-reverse Hessians working; the rule itself is plain ops,
+    so it is differentiable again for second order.
+    """
+    rij, zsi, zpi, zsj, zpj, j2, j3, j4 = primals
+    out = _s_combinations_tf(*primals)
+    _, dout = jax.jvp(
+        lambda r, a, b, c, d: _s_combinations(r, a, b, c, d, j2, j3, j4,
+                                              False),
+        (rij, zsi, zpi, zsj, zpj), tangents[:5])
+    return out, dout
+
+
+def diatom_overlap(qni, qnj, xij, rij, zeta_i, zeta_j, precise=False):
+    """Overlap 4x4 block between the AOs of an (i, j) pair.
+
+    Args:
+      qni, qnj: (...,) int valence principal quantum numbers (i heavier: qni>=qnj).
+      xij: (..., 3) unit vector i->j.
+      rij: (...,) distance in Bohr.
+      zeta_i, zeta_j: (..., 2) [zeta_s, zeta_p] orbital exponents.
+      precise: evaluate the A/B chain in double-float (f32 inputs only;
+        matches the reference's f64 numerics to ~1e-8 absolute; gradients
+        use the plain-f32 chain — see _s_combinations_tf_jvp).
+
+    Returns: (..., 4, 4) overlap in the molecular frame (rows: AOs on i).
+    """
+    dtype = rij.dtype
+    jcall2 = (qni == 1) & (qnj == 1)
+    jcall3 = (qni == 2) & (qnj == 1)
+    jcall4 = (qni == 2) & (qnj == 2)
+
+    zsi, zpi = zeta_i[..., 0], zeta_i[..., 1]
+    zsj, zpj = zeta_j[..., 0], zeta_j[..., 1]
+    if precise and dtype == jnp.float32:
+        S111, S211, S121, S221, S222 = _s_combinations_tf(
+            rij, zsi, zpi, zsj, zpj, jcall2, jcall3, jcall4)
+    else:
+        S111, S211, S121, S221, S222 = _s_combinations(
+            rij, zsi, zpi, zsj, zpj, jcall2, jcall3, jcall4, False)
 
     # bond direction with the reference's near-axis regularization
     # (diat_overlap.py:24-45): below xy < 1e-10 snap to +-z.

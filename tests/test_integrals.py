@@ -104,3 +104,44 @@ def test_first_fock(golden, method):
     Fref = g["fock1"]
     live = np.abs(Fref) > 0
     np.testing.assert_allclose(F1[live], Fref[live], atol=5e-11, rtol=1e-9)
+
+
+def test_precise_overlap_grad_is_plain_chain():
+    """The double-float overlap's custom JVP routes tangents through the
+    plain-f32 chain (the primal keeps double-float precision, gradients
+    only need f32 — they feed forces whose noise floor is ~2e-4 eV/A).
+    Pins: (a) precise primal still differs from plain (the tf path is
+    live), (b) precise grads == plain grads to f32 roundoff, (c) the rule
+    differentiates again (forward-over-reverse for Hessians)."""
+    from pyseqm_tpu.ops.overlap import diatom_overlap
+
+    rng = np.random.default_rng(7)
+    k = 32
+    qni = jnp.asarray(rng.integers(1, 3, k))
+    qnj = jnp.minimum(qni, jnp.asarray(rng.integers(1, 3, k)))
+    v = rng.normal(size=(k, 3))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    xij = jnp.asarray(v, jnp.float32)
+    rij = jnp.asarray(rng.uniform(1.0, 6.0, k), jnp.float32)
+    zi = jnp.asarray(rng.uniform(0.9, 3.0, (k, 2)), jnp.float32)
+    zj = jnp.asarray(rng.uniform(0.9, 3.0, (k, 2)), jnp.float32)
+
+    f = lambda precise: jax.jit(lambda r, a, b: diatom_overlap(
+        qni, qnj, xij, r, a, b, precise=precise))
+    d_primal = np.abs(np.asarray(f(True)(rij, zi, zj))
+                      - np.asarray(f(False)(rij, zi, zj))).max()
+    assert 0.0 < d_primal < 1.0e-3
+
+    loss = lambda precise: jax.jit(jax.grad(
+        lambda r, a, b: jnp.sum(jnp.sin(diatom_overlap(
+            qni, qnj, xij, r, a, b, precise=precise))), argnums=(0, 1, 2)))
+    gp = loss(True)(rij, zi, zj)
+    gq = loss(False)(rij, zi, zj)
+    for a, b in zip(gp, gq):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0.0, atol=2.0e-4)
+
+    h = jax.jit(jax.jacfwd(jax.grad(
+        lambda r: jnp.sum(diatom_overlap(qni, qnj, xij, r, zi, zj,
+                                         precise=True) ** 2))))(rij)
+    assert np.isfinite(np.asarray(h)).all()
