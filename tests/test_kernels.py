@@ -120,3 +120,63 @@ def test_eigh_kernel_nonpow2_and_degenerate():
     v = np.asarray(v, np.float64)
     orth = np.abs(np.einsum('bji,bjk->bik', v, v) - np.eye(n)).max()
     assert orth < 1.0e-5
+
+
+def _converged_FP(nmol=8, seed=11):
+    """Real converged (sys, F, P_exact) for a small organic batch."""
+    import pyseqm_tpu as pq
+    from pyseqm_tpu.parameters import gather_atom_parameters  # noqa: F401
+    from pyseqm_tpu.scf import SCFConfig
+    from pyseqm_tpu.utils.molecules import make_batch
+
+    sp, co = make_batch(nmol, 8, jitter=0.02, seed=seed)
+    species = jnp.asarray(sp)
+    coords = jnp.asarray(co, jnp.float32)
+    const, tables, cfg = pq.build(
+        "AM1", dtype=jnp.float32, scf=SCFConfig(eps=1.0e-6, converger=(2,)))
+    h = jax.jit(lambda c: pq.hamiltonian(const, tables, cfg, species, c))(
+        coords)
+    sys = pq.make_system(const, species, coords)
+    return sys, h.F, h.P
+
+
+def test_sp2_tight_bounds_and_debug_iters():
+    """Gelfand-refined spectral bounds must converge to the same P, in at
+    most as many iterations as plain Gershgorin (the scaled gap grows)."""
+    from pyseqm_tpu.ops.density import sp2
+
+    sys, F, P_ref = _converged_FP()
+    P0, it0 = jax.jit(lambda f: sp2(sys, f, 1.0e-5, debug_iters=True))(F)
+    P1, it1 = jax.jit(lambda f: sp2(sys, f, 1.0e-5, tight_bounds=True,
+                                    debug_iters=True))(F)
+    assert np.abs(np.asarray(P0) - np.asarray(P_ref)).max() < 5.0e-4
+    assert np.abs(np.asarray(P1) - np.asarray(P_ref)).max() < 5.0e-4
+    assert int(it1) <= int(it0)
+    assert int(it0) > 0
+
+
+def test_eigh_rescue_scoring():
+    """ref-based scoring catches a wrong-occupation P (invariant subspace,
+    invisible to the commutator); commutator scoring catches a rotated /
+    unconverged iterate.  Untouched molecules must pass through exactly."""
+    from pyseqm_tpu.ops.density import eigh_rescue
+
+    sys, F, P = _converged_FP()
+    nmol = P.shape[0]
+
+    # (a) wrong occupation: molecule 0's P replaced by a uniform-trace
+    # idempotent-ish blob -- [F,P'] != 0 not guaranteed small, so use ref
+    P_bad = P.at[0].set(P[1])
+    fixed = jax.jit(lambda f, p: eigh_rescue(sys, f, p, frac=1.0 / nmol,
+                                             ref=P))(F, P_bad)
+    assert np.abs(np.asarray(fixed[0]) - np.asarray(P[0])).max() < 5.0e-4
+    np.testing.assert_array_equal(np.asarray(fixed[1:]),
+                                  np.asarray(P_bad[1:]))
+
+    # (b) rotated iterate: symmetric noise breaks [F,P]=0 -> commutator
+    # scoring selects it without a reference
+    noise = 0.05 * jnp.eye(P.shape[-1])[None].at[:, 0, 1].set(0.05)
+    P_rot = P.at[2].add(noise[0] + noise[0].T)
+    fixed2 = jax.jit(lambda f, p: eigh_rescue(sys, f, p,
+                                              frac=1.0 / nmol))(F, P_rot)
+    assert np.abs(np.asarray(fixed2[2]) - np.asarray(P[2])).max() < 5.0e-4
