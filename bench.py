@@ -144,8 +144,9 @@ def measure_reference_cpu(nmol=NMOL, steps=3):
 def bench_scf(nmol=NMOL, repeats=3, eigh=False):
     """Batched single-point SCF throughput (BASELINE config 2).
 
-    Default: SP2 at eps=1e-3 (the f32+SP2 trace-eps floor).  eigh=True
-    runs the Jacobi-eigh converger at the reference-comparable eps=1e-5
+    Default: SP2 kernel at the reference-comparable eps=1e-5 (the v3
+    kernel's ~1e-5 trace floor makes it free — measured flat 1e-3 vs
+    1e-5).  eigh=True runs the Jacobi-eigh converger at the same eps
     (cf. reference tests/test1.py tolerances) — VERDICT r2 item 7."""
     import jax
     import jax.numpy as jnp
@@ -358,8 +359,11 @@ def main():
              bench_bomd(args.nmol), "steps/sec", "bomd")
         return
     if args.config == "opt":
+        # no vs_baseline: L-BFGS outer iterations (each with >=2 internal
+        # linesearch evals) are not comparable to the reference baseline's
+        # one-eval-per-step SD number — config opt-sd carries that ratio
         emit("lbfgs_opt_am1_molecule_iters_per_sec@2048mol", bench_opt(),
-             "molecule-iters/sec", "opt", ndigits=1)
+             "molecule-iters/sec", None, ndigits=1)
         return
     if args.config == "opt-sd":
         emit("sd_opt_am1_molecule_evals_per_sec@2048mol",

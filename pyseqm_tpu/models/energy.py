@@ -124,6 +124,70 @@ def _orbital_charges(sys: System, v: jnp.ndarray) -> jnp.ndarray:
     return charge
 
 
+def _integral_stack(const, sys, p, Kbeta, cfg):
+    """Shared dense/flat integral plumbing for energy() and energy_xl().
+
+    Returns (M, w, w_f): the Hcore grid, the two-electron integrals (flat
+    WPack or grid-resident WPackGrid), and the integrals to feed the
+    differentiable Fock build.
+
+    Large molecules (A >= 64, or cfg.dense_pair_grid) build the integrals
+    dense (ops/hcore.py hcore_dense: the flat path's per-pair gathers were
+    122 of 640 ms at 884 atoms) and default to the dense scatter-free
+    Fock: with the grid built by broadcasting, its backward feeds
+    cotangents straight into hcore_dense (measured 884-atom force_xl:
+    dense fock 614 ms vs flat extraction 803 ms; round 2's opposite
+    finding was an artifact of the then-flat integral build).
+    cfg.dense_fock=False forces the flat extraction.
+
+    cfg.remat_integrals (auto at A >= 32) recomputes the integrals in the
+    force backward pass instead of storing every intermediate — cuts peak
+    HBM by an order of magnitude; small batches skip it (the recompute
+    adds a full hcore forward, ~5 ms at 10k molecules, per force eval).
+    """
+    A = sys.species.shape[1]
+    dense = cfg.dense_pair_grid
+    if dense is None:
+        dense = A >= 64
+    if dense:
+        from ..ops.hcore import hcore_dense
+
+        def build(const, sys, p, Kbeta):
+            return hcore_dense(const, sys, p, cfg.pair_outer_cutoff,
+                               Kbeta, cfg.precise_overlap)
+    else:
+        def build(const, sys, p, Kbeta):
+            return hcore(const, sys, p, Kbeta, False, cfg.precise_overlap)
+    remat = cfg.remat_integrals
+    if remat is None:
+        remat = A >= 32
+    hcore_fn = jax.checkpoint(build) if remat else build
+    M, w = hcore_fn(const, sys, p, Kbeta)
+    if dense and cfg.dense_fock is False:
+        from ..ops.tetci import from_grid
+        w_f = from_grid(w, sys.pair_i, sys.pair_j)
+    else:
+        w_f = w
+    return M, w, w_f
+
+
+def _nuclear_term(const, sys, w, cfg, p, gam=None):
+    """(EnucAB, pair_mask-or-None) for assemble_energies.
+
+    Grid-resident integrals keep the core-core term gather-free too (the
+    flat gam gather's backward is a large TPU scatter at ~A^2/2 pairs —
+    it dominated the 884-atom force step).  ``gam`` overrides the
+    integral-derived gamma (the ML g_ss_nuc hook)."""
+    if gam is None and hasattr(w, "rig"):
+        from ..ops.energy import pair_nuclear_energy_dense
+        return pair_nuclear_energy_dense(const, sys, w.rig[..., 0],
+                                         cfg.method, p,
+                                         cfg.pair_outer_cutoff)
+    if gam is None:
+        gam = w.ri[..., 0]  # (s_i s_i | s_j s_j)
+    return pair_nuclear_energy(const, sys, gam, cfg.method, p), None
+
+
 def energy(
     const: Constants,
     tables: Mapping[str, jnp.ndarray],
@@ -151,40 +215,12 @@ def _energy_impl(const, tables, cfg, species, coordinates, learned, P0,
     Kbeta = p.pop("Kbeta", None)
     g_ss_nuc = p.pop("g_ss_nuc", None)
 
-    # remat the integral stack on LARGE molecules: its backward pass then
-    # recomputes the (cheap, elementwise-heavy) integrals instead of
-    # storing every intermediate — cuts peak HBM by an order of magnitude.
-    # Small-molecule batches skip it: memory is plentiful there and the
-    # recompute adds a full hcore forward (~5 ms at 10k molecules) to
-    # every force evaluation.
-    dense = cfg.dense_pair_grid
-    if dense is None:
-        dense = species.shape[1] >= 64
-    if dense:
-        # gather-free ordered-pair integral build (ops/hcore.py
-        # hcore_dense); the SCF loop consumes the grid-resident
-        # integrals (scatter-free Fock), while the final differentiable
-        # Fock uses the flat extraction (its backward is faster).
-        from ..ops.hcore import hcore_dense
-        from ..ops.tetci import from_grid
-
-        def build(const, sys, p, Kbeta):
-            return hcore_dense(const, sys, p, cfg.pair_outer_cutoff,
-                               Kbeta, cfg.precise_overlap)
-    else:
-        def build(const, sys, p, Kbeta):
-            return hcore(const, sys, p, Kbeta, False, cfg.precise_overlap)
-    remat = cfg.remat_integrals
-    if remat is None:
-        remat = species.shape[1] >= 32
-    hcore_fn = jax.checkpoint(build) if remat else build
-    M, w = hcore_fn(const, sys, p, Kbeta)
+    M, w, w_f = _integral_stack(const, sys, p, Kbeta, cfg)
     P, notconverged = scf_solve(const, sys, M, w, p, cfg.scf, P0)
-    w_f = w if (not dense or cfg.dense_fock is not False) else \
-        from_grid(w, sys.pair_i, sys.pair_j)
     F = fock(sys, P, M, w_f, p)
     H = grid_to_mat(M)
 
+    gam = None
     if g_ss_nuc is not None:
         # ML override of the nuclear gamma (basics.py:321-327); sanitize
         # padding lanes (g_ss = 0 there) before dividing so grads stay finite
@@ -194,19 +230,7 @@ def _energy_impl(const, tables, cfg, species, coordinates, learned, P0,
         r0a = 0.5 * EV / jnp.where(pm, ga, 1.0)
         r0b = 0.5 * EV / jnp.where(pm, gb, 1.0)
         gam = jnp.where(pm, EV / jnp.sqrt(sys.rij ** 2 + (r0a + r0b) ** 2), 0.0)
-    elif hasattr(w, "rig"):
-        gam = None
-    else:
-        gam = w.ri[..., 0]  # (s_i s_i | s_j s_j)
-    if gam is None:
-        # grid-resident gamma: gather-free nuclear term (the flat gam
-        # gather's backward is a large TPU scatter at ~A^2/2 pairs)
-        from ..ops.energy import pair_nuclear_energy_dense
-        EnucAB, enuc_mask = pair_nuclear_energy_dense(
-            const, sys, w.rig[..., 0], cfg.method, p, cfg.pair_outer_cutoff)
-    else:
-        EnucAB = pair_nuclear_energy(const, sys, gam, cfg.method, p)
-        enuc_mask = None
+    EnucAB, enuc_mask = _nuclear_term(const, sys, w, cfg, p, gam)
     Eiso = elec_energy_isolated_atom(const, sys.species, p)
     # compensated assembly: Hf is a ~2 eV difference of ~1e3 eV terms
     Hf, Etot, Eel, Enuc, Eiso_sum = assemble_energies(

@@ -97,13 +97,15 @@ def exp_tf(x: jnp.ndarray) -> TwoFloat:
     and the low-order Horner steps carried in double-float arithmetic.
     Used by the precise STO overlap path (ops/overlap.py), where the ~1 ulp
     error of plain `exp` would be amplified ~1e3x by the alternating-sign
-    A/B-integral combinations.  Callers clamp |x| <= 85; outside that the
-    value saturates with plain-`exp` semantics.
+    A/B-integral combinations.  Covers the full finite f32 range with
+    plain-`exp` saturation semantics (inf above ~88.7228, 0 below
+    ~-103.97; the two-step _scale_2n split keeps the 2^n factors in
+    range, same as `exp`).
     """
     if x.dtype != jnp.float32:
         y = jnp.exp(x)
         return TwoFloat(y, jnp.zeros_like(y))
-    xc = jnp.clip(x, -87.0, 88.0)
+    xc = jnp.clip(x, -104.0, 89.0)
     n = jnp.round(xc * _INV_LN2)
     r_hi = xc - n * _LN2_HI                      # exact (Cody-Waite)
     m, me = two_prod(n, jnp.float32(_LN2_MID))

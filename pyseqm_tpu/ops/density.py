@@ -225,8 +225,9 @@ def sp2(sys: System, F: jnp.ndarray, eps: float = 1.0e-4,
     Gershgorin upper bound hN (maps exactly to 0 under the initial scaling).
 
     ``precision`` sets the XLA-path matmul precision ("highest" = 6-pass
-    full-f32, "high" = 3-pass ~2x faster on large n; the f32 trace-eps
-    floor of 1e-2 tolerates "high" — see SCFConfig.sp2_precision).  The
+    full-f32, "high" = 3-pass ~2x faster on large n; both keep the
+    trace-eps floor at 1e-4 — see SCFConfig.sp2_precision; "default"
+    rides the caller's matmul context and forces a 1e-2 floor).  The
     Pallas kernel path always runs HIGHEST-precision dots.
     """
     # materialize F once before the multi-consumer prep (mask multiply,
@@ -238,9 +239,15 @@ def sp2(sys: System, F: jnp.ndarray, eps: float = 1.0e-4,
     f32 = dtype == jnp.float32
     eps_kernel = max(eps, 1.0e-5)   # pallas kernel: exact-f32 dots
     if f32:
-        # XLA fallback floor: its dots ride the caller's matmul-precision
-        # context; 1e-2 is the safe bound under default bf16 matmuls
-        eps = max(eps, 1.0e-2)
+        # XLA fallback floor.  With explicit HIGH/HIGHEST dots the trace
+        # noise is set by the row-first Frobenius reduction (~1e-4 at
+        # n~3536, see frob2); floor at 3e-4 (3x margin so the
+        # no-improvement stop rule still fires instead of running to the
+        # iteration cap).  Only precision="default" rides the caller's
+        # matmul context, where a bf16 pass forces the old 1e-2 bound.
+        # (An eps floored at 1e-2 leaks ~eps x 20 eV/electron of Tr(DF)
+        # readout noise into energies — the round-3 XL-drift finding.)
+        eps = max(eps, 1.0e-2 if precision == "default" else 3.0e-4)
     else:
         eps = min(max(eps, 1.0e-7), 1.0e-3)
 
@@ -292,6 +299,16 @@ def sp2(sys: System, F: jnp.ndarray, eps: float = 1.0e-4,
     h1, hN = _gershgorin(Fp)
     idx = jnp.arange(n)
     pad = idx[None, :] >= sys.norb[:, None]
+    if tight_bounds:
+        # same Gelfand refinement as the kernel path: pin padding
+        # mid-spectrum so it cannot widen the estimate, refine, then
+        # re-pin at the tightened upper bound below
+        sigma = 0.5 * (h1 + hN)
+        dtmp = jnp.where(pad, sigma[:, None],
+                         jnp.diagonal(Fp, axis1=-2, axis2=-1))
+        r = 1.02 * _gelfand_radius(Fp.at[:, idx, idx].set(dtmp), sigma)
+        h1 = jnp.maximum(h1, sigma - r)
+        hN = jnp.minimum(hN, sigma + r)
     diag = jnp.where(pad, hN[:, None], jnp.diagonal(Fp, axis1=-2, axis2=-1))
     Fp = Fp.at[:, idx, idx].set(diag)
 
@@ -322,7 +339,8 @@ def sp2(sys: System, F: jnp.ndarray, eps: float = 1.0e-4,
         # the 884-atom alkane: 32 iterations from one input, the
         # 200-iteration cap from an input perturbed by 1e-9 A).  Row
         # sums are ~[0,1] each with ~1e-6 error, so the cross-row sum's
-        # floor drops to ~1e-4, well under the 1e-2 criterion.
+        # floor drops to ~1e-4 — the 3e-4 eps floor above keeps 3x
+        # margin to it.
         return jnp.sum(jnp.sum(a * a, axis=-1), axis=-1)
 
     def body_masked(st):

@@ -97,20 +97,18 @@ def pair_nuclear_energy_dense(const: Constants, sys: System, gam_grid,
     gam_grid: (nmol, A, A) = WPackGrid.rig[..., 0].
     Returns (EnucAB_grid flattened to (nmol, A*A), matching flat mask).
     """
+    from .hcore import dense_pair_geometry
+
     nmol, A = sys.species.shape
     dtype = sys.coordinates.dtype
-    x = sys.coordinates
-    am = sys.atom_mask
     Z = sys.species
 
-    dvec = x[:, None, :, :] - x[:, :, None, :]
-    dist2 = jnp.sum(dvec * dvec, axis=-1)
-    dist2 = jnp.where(dist2 == 0.0, jnp.asarray(1.0e-4, dtype), dist2)
-    rija = jnp.sqrt(dist2)                       # Angstrom
+    # same geometry (and zero-distance guard) as hcore_dense — XLA CSEs
+    # the shared subexpressions within one program
+    _, rija, pm_full = dense_pair_geometry(sys, pair_outer_cutoff)
     idx = jnp.arange(A)
     tri = idx[:, None] < idx[None, :]
-    pm = (am[:, :, None] & am[:, None, :] & tri[None]
-          & (rija < pair_outer_cutoff))
+    pm = pm_full & tri[None]                     # each pair counted once
     rija = jnp.where(pm, rija, jnp.asarray(1.0, dtype))
 
     row = lambda v: v[:, :, None]                # noqa: E731

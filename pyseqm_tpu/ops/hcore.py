@@ -141,6 +141,30 @@ def hcore(
     return M, w
 
 
+def dense_pair_geometry(sys: System, pair_outer_cutoff: float):
+    """Shared (nmol, A, A) ordered-pair geometry for the dense pipeline.
+
+    Returns (dvec, dist, pm): dvec[n, i, j] = x_j - x_i, dist in Angstrom,
+    pm the off-diagonal valid-pair mask (atom masks, no self-pairs, outer
+    cutoff).  Single source of truth for the duplicated-atom / diagonal
+    zero-distance guard (cf. reference basics.py:93) used by both
+    hcore_dense and the dense nuclear term (ops/energy.py) — their
+    distance definitions must never diverge.  Differentiable.
+    """
+    x = sys.coordinates
+    am = sys.atom_mask
+    A = x.shape[1]
+    dtype = x.dtype
+    dvec = x[:, None, :, :] - x[:, :, None, :]          # [n,i,j] = x_j - x_i
+    eye = jnp.eye(A, dtype=bool)
+    pm = am[:, :, None] & am[:, None, :] & ~eye[None]
+    dist2 = jnp.sum(dvec * dvec, axis=-1)
+    dist2 = jnp.where(dist2 == 0.0, jnp.asarray(1.0e-4, dtype), dist2)
+    dist = jnp.sqrt(dist2)
+    pm = pm & (dist < pair_outer_cutoff)
+    return dvec, dist, pm
+
+
 def hcore_dense(
     const: Constants,
     sys: System,
@@ -170,18 +194,9 @@ def hcore_dense(
     """
     nmol, A = sys.species.shape
     dtype = sys.coordinates.dtype
-    x = sys.coordinates
     am = sys.atom_mask
 
-    # ---- dense pair geometry (differentiable) ----
-    dvec = x[:, None, :, :] - x[:, :, None, :]          # [n,i,j] = x_j - x_i
-    eye = jnp.eye(A, dtype=bool)
-    pm = am[:, :, None] & am[:, None, :] & ~eye[None]
-    dist2 = jnp.sum(dvec * dvec, axis=-1)
-    # guard duplicated-atom / diagonal zero distances (cf. basics.py:93)
-    dist2 = jnp.where(dist2 == 0.0, jnp.asarray(1.0e-4, dtype), dist2)
-    dist = jnp.sqrt(dist2)
-    pm = pm & (dist < pair_outer_cutoff)
+    dvec, dist, pm = dense_pair_geometry(sys, pair_outer_cutoff)
     rij = jnp.where(pm, dist * LENGTH_CONVERSION_FACTOR,
                     jnp.asarray(1.0, dtype))
     ez = jnp.asarray([0.0, 0.0, 1.0], dtype)

@@ -151,6 +151,9 @@ def test_sp2_tight_bounds_and_debug_iters():
                                     debug_iters=True))(F)
     assert np.abs(np.asarray(P0) - np.asarray(P_ref)).max() < 5.0e-4
     assert np.abs(np.asarray(P1) - np.asarray(P_ref)).max() < 5.0e-4
+    if int(it0) == -1:
+        # Pallas-kernel path (TPU backend): iteration count not exposed
+        pytest.skip("kernel path does not expose iteration counts")
     assert int(it1) <= int(it0)
     assert int(it0) > 0
 
