@@ -281,10 +281,13 @@ def bench_nanostar(n_carbons=294, repeats=3):
         "AM1", dtype=jnp.float32,
         # tight_bounds: Gelfand-refined spectral bounds halve the XLA-SP2
         # iteration count (measured 32 -> 16 at n=368, identical P) for
-        # two extra matmuls — a clear win at n=3536
+        # two extra matmuls — a clear win at this size.  pack_orbitals
+        # runs SP2 at the compact 1792 instead of the 4A=3536 layout
+        # (hydrogen p-padding): ~8x fewer matmul FLOPs.
         scf=SCFConfig(eps=1.0e-3, converger=(2,), use_sp2=True,
                       sp2_eps=1.0e-4, sp2_precision="high",
-                      sp2_tight_bounds=True, max_iter=400))
+                      sp2_tight_bounds=True, max_iter=400,
+                      pack_orbitals=pq.packed_orbital_size(z[None])))
     out = jax.block_until_ready(jax.jit(
         lambda c: pq.energy(const, tables, cfg, species, c))(coords))
 

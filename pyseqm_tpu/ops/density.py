@@ -87,40 +87,79 @@ def _occupations(e, nocc, dtype, check_degeneracy):
     return occ.astype(dtype)
 
 
+def packed_orbital_size(species, multiple: int = 128) -> int:
+    """STATIC compact-orbital size for SCFConfig.pack_orbitals.
+
+    ``species`` must be a concrete array (outside jit).  Returns
+    ceil(max_molecule norb / multiple) * multiple, clamped to 4A — the
+    smallest MXU-tile-aligned size that holds every molecule's physical
+    orbitals (hydrogens contribute 1, heavies 4).  At 884 atoms /
+    1766 orbitals this is 1792 vs the 3536 full layout: ~8x fewer
+    eigh/SP2 FLOPs.
+    """
+    import numpy as np
+    sp = np.asarray(species)
+    norb_max = int((4 * (sp > 1).sum(axis=-1) + (sp == 1).sum(axis=-1)).max())
+    n_full = 4 * sp.shape[-1]
+    return int(min(n_full, -(-norb_max // multiple) * multiple))
+
+
+def _pack_slice(Fp, pack_n):
+    """Slice the valid-orbitals-first permuted matrix to the static
+    compact size.  Rows >= pack_n are pure decoupled padding (zero
+    off-diagonals), so dropping them leaves the retained spectrum
+    unchanged."""
+    return Fp[:, :pack_n, :pack_n]
+
+
+def _unpack_embed(Pp, n):
+    """Embed a compact (nmol, pack_n, pack_n) block back into (nmol, n, n)."""
+    nmol, np_, _ = Pp.shape
+    if np_ == n:
+        return Pp
+    return jnp.zeros((nmol, n, n), Pp.dtype).at[:, :np_, :np_].set(Pp)
+
+
 def sym_eig(sys: System, F: jnp.ndarray, eig_only: bool = False,
-            check_degeneracy: bool = False):
+            check_degeneracy: bool = False, pack_n: int = None):
     """Batched eigendecomposition of the Fock matrix.
 
     Returns (e, P, v): orbital energies (nmol, 4A) zero-padded after norb,
     density P = 2 V_occ V_occ^T in the original orbital layout, and the
-    eigenvectors v in the *packed* (permuted) layout.
+    eigenvectors v in the *packed* (permuted) layout (compact pack_n
+    rows/cols when pack_n is set — see packed_orbital_size).
     """
     # materialize F once: the prep consumes it several times (permute,
     # Gershgorin, padding fill) and XLA otherwise re-fuses the producer
     # chain (hcore+fock) into each consumer — measured +10 ms at
     # (10240, 32, 32) on the SP2 side of the same boundary
     F = jax.lax.optimization_barrier(F)
+    n = F.shape[-1]
     perm, inv = orbital_permutation(sys)
     Fp = permute_mat(F, perm)
+    if pack_n is not None and pack_n < n:
+        Fp = _pack_slice(Fp, pack_n)
     h1, hN = _gershgorin(Fp)
     Fp = _fill_padding_diag(Fp, sys.norb, h1, hN)
 
     from . import eigh_pallas
-    if eigh_pallas.supported(F.shape[-1], F.dtype):
+    if eigh_pallas.supported(Fp.shape[-1], F.dtype):
         # batched one-sided Jacobi kernel: ~481 ms -> few-ms class at
         # (10240, 32, 32); differentiable via its custom_jvp
         e0, v = eigh_pallas.eigh_batched(Fp)
     else:
         e0, v = jnp.linalg.eigh(Fp)
-    n = F.shape[-1]
-    idx = jnp.arange(n)
+    ne = e0.shape[-1]
+    idx = jnp.arange(ne)
     e = jnp.where(idx[None, :] < sys.norb[:, None], e0, 0.0)
+    if ne < n:
+        e = jnp.zeros((F.shape[0], n), e.dtype).at[:, :ne].set(e)
     if eig_only:
         return e, v
 
     occ = _occupations(e0, sys.nocc, F.dtype, check_degeneracy)
     Pp = 2.0 * jnp.einsum('nik,nk,njk->nij', v, occ, v)
-    P = permute_mat(Pp, inv)
+    P = permute_mat(_unpack_embed(Pp, n), inv)
     m = orbital_mask(sys).astype(F.dtype)
     P = P * m[:, :, None] * m[:, None, :]
     return e, P, v
@@ -216,7 +255,7 @@ def _gelfand_radius(Fc, sigma, squarings=2):
 def sp2(sys: System, F: jnp.ndarray, eps: float = 1.0e-4,
         precision: str = "highest", dots: str = "highest",
         tight_bounds: bool = False, sort_packing: bool = False,
-        debug_iters: bool = False):
+        debug_iters: bool = False, pack_n: int = None):
     """SP2 density-matrix purification (cf. SP2.py:3-72).
 
     Pure batched matmuls — the TPU-preferred density path.  Per-molecule
@@ -251,7 +290,7 @@ def sp2(sys: System, F: jnp.ndarray, eps: float = 1.0e-4,
     else:
         eps = min(max(eps, 1.0e-7), 1.0e-3)
 
-    n = F.shape[-1]
+    n_full = n = F.shape[-1]
     noccd = sys.nocc.astype(dtype)
     eye = jnp.eye(n, dtype=dtype)
 
@@ -296,6 +335,13 @@ def sp2(sys: System, F: jnp.ndarray, eps: float = 1.0e-4,
 
     perm, inv = orbital_permutation(sys)
     Fp = permute_mat(F, perm)
+    if pack_n is not None and pack_n < n:
+        # run the whole iteration at the compact valid-orbital size —
+        # hydrogen-rich molecules waste up to 8x matmul FLOPs at 4A
+        # (884-atom alkane: 1792 vs 3536; see packed_orbital_size)
+        Fp = _pack_slice(Fp, pack_n)
+        n = pack_n
+        eye = jnp.eye(n, dtype=dtype)
     h1, hN = _gershgorin(Fp)
     idx = jnp.arange(n)
     pad = idx[None, :] >= sys.norb[:, None]
@@ -370,8 +416,10 @@ def sp2(sys: System, F: jnp.ndarray, eps: float = 1.0e-4,
     # while_loop iterations carry a large fixed dispatch cost on TPU, so run
     # the masked body in fori chunks and only check the global convergence
     # predicate between chunks (updates are per-molecule masked, so extra
-    # in-chunk iterations after convergence are no-ops)
-    CHUNK = 16
+    # in-chunk iterations after convergence are no-ops).  Large single
+    # molecules pay ~ms per iteration of real matmul work, so overshoot
+    # costs more than dispatch there — use short chunks.
+    CHUNK = 16 if n < 1024 else 4
 
     def chunk(st):
         st = jax.lax.fori_loop(0, CHUNK, lambda i, s: body_masked(s), st)
@@ -380,7 +428,7 @@ def sp2(sys: System, F: jnp.ndarray, eps: float = 1.0e-4,
         return st._replace(tr_a=jnp.where(st.notconverged, tr_exact, st.tr_a))
 
     st = jax.lax.while_loop(cond, chunk, st)
-    P = permute_mat(2.0 * st.a0, inv)
+    P = permute_mat(_unpack_embed(2.0 * st.a0, n_full), inv)
     m = orbital_mask(sys).astype(dtype)
     P = P * m[:, :, None] * m[:, None, :]
     if debug_iters:

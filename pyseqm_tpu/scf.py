@@ -111,6 +111,14 @@ class SCFConfig:
     # fractional occupations across a degenerate Fermi level
     # (cf. diag.CHECK_DEGENERACY, diag.py:7,79-98)
     check_degeneracy: bool = False
+    # STATIC compact-orbital size for the density solvers (ops/density.py):
+    # hydrogens carry 3 dead p-orbitals in the 4A layout, so large
+    # hydrogen-rich systems waste up to 8x FLOPs in eigh/SP2 at size 4A.
+    # Set to ceil(max norb / 128) * 128 — use pyseqm_tpu.packed_orbital_size
+    # (species) — to run the solver at the packed size (884-atom alkane:
+    # SP2 at 1792 instead of 3536).  MUST be >= every molecule's norb;
+    # None = full 4A (always safe).
+    pack_orbitals: Optional[int] = None
 
 
 def init_density(const: Constants, sys: System) -> jnp.ndarray:
@@ -134,9 +142,10 @@ def init_density(const: Constants, sys: System) -> jnp.ndarray:
 def _make_density(sys: System, cfg: SCFConfig, differentiable: bool):
     if cfg.use_sp2 and not differentiable:
         return lambda F: sp2(sys, F, cfg.sp2_eps, cfg.sp2_precision,
-                             cfg.sp2_dots, cfg.sp2_tight_bounds)
-    return lambda F: sym_eig(sys, F,
-                             check_degeneracy=cfg.check_degeneracy)[1]
+                             cfg.sp2_dots, cfg.sp2_tight_bounds,
+                             pack_n=cfg.pack_orbitals)
+    return lambda F: sym_eig(sys, F, check_degeneracy=cfg.check_degeneracy,
+                             pack_n=cfg.pack_orbitals)[1]
 
 
 class _State(NamedTuple):
@@ -404,7 +413,8 @@ def make_scf_apply(cfg: SCFConfig):
         gP0, _ = ct
 
         def step(P, M, w, pscf):
-            return sym_eig(sys, fock(sys, P, M, w, pscf))[1]
+            return sym_eig(sys, fock(sys, P, M, w, pscf),
+                           pack_n=cfg.pack_orbitals)[1]
 
         _, vjp = jax.vjp(step, Pconv, M, w, pscf)
         converged = ~notconverged

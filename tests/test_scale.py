@@ -77,3 +77,47 @@ def test_large_alkane_energy_forces():
     assert np.isfinite(np.asarray(f)).all()
     # translational invariance: forces sum to ~0
     np.testing.assert_allclose(np.asarray(f[0]).sum(axis=0), 0.0, atol=1e-7)
+
+
+def test_packed_orbital_solvers_match_full():
+    """SCFConfig.pack_orbitals (compact-orbital density solve, the 8x
+    FLOP saver for hydrogen-rich large molecules): packed SP2 and eigh
+    agree with the full-4A solve in f64, through both the direct solvers
+    and the XL-BOMD force step."""
+    from pyseqm_tpu.models.xlbomd import force_xl
+    from pyseqm_tpu.ops.density import packed_orbital_size, sp2, sym_eig
+    from pyseqm_tpu.system import make_system
+
+    z, x = make_alkane(10)                       # 32 atoms, 4A=128
+    species = jnp.asarray(z[None])
+    coords = jnp.asarray(x[None], jnp.float64)
+    pk = packed_orbital_size(species, multiple=16)
+    assert pk < 4 * species.shape[1]
+
+    const, tables, cfg = pq.build(
+        "AM1", dtype=jnp.float64,
+        scf=SCFConfig(eps=1.0e-9, converger=(2,)))
+    out = jax.jit(lambda c: pq.energy(const, tables, cfg, species, c))(coords)
+    sys_ = jax.jit(lambda c: make_system(const, species, c))(coords)
+    F = out.F
+
+    P_full = jax.jit(lambda F: sp2(sys_, F, 1e-7))(F)
+    P_pack = jax.jit(lambda F: sp2(sys_, F, 1e-7, pack_n=pk))(F)
+    np.testing.assert_allclose(P_pack, P_full, atol=5e-7)
+
+    e1, Pf, _ = jax.jit(lambda F: sym_eig(sys_, F))(F)
+    e2, Pp, _ = jax.jit(lambda F: sym_eig(sys_, F, pack_n=pk))(F)
+    np.testing.assert_allclose(Pp, Pf, atol=1e-9)
+    np.testing.assert_allclose(e2, e1, atol=1e-9)
+
+    cfg_pack = dataclasses.replace(
+        cfg, scf=dataclasses.replace(cfg.scf, use_sp2=True, sp2_eps=1e-7,
+                                     pack_orbitals=pk))
+    cfg_full = dataclasses.replace(
+        cfg, scf=dataclasses.replace(cfg.scf, use_sp2=True, sp2_eps=1e-7))
+    f0, hf0, _ = jax.jit(lambda c: force_xl(const, tables, cfg_full, species,
+                                            c, out.P))(coords)
+    f1, hf1, _ = jax.jit(lambda c: force_xl(const, tables, cfg_pack, species,
+                                            c, out.P))(coords)
+    np.testing.assert_allclose(hf1, hf0, atol=1e-6)
+    np.testing.assert_allclose(f1, f0, atol=1e-6)

@@ -65,7 +65,8 @@ def main(n_carbons=294):
         "AM1", dtype=jnp.float32,
         scf=SCFConfig(eps=1.0e-3, converger=(2,), use_sp2=True,
                       sp2_eps=1.0e-4, sp2_precision="high",
-                      sp2_tight_bounds=True, max_iter=400))
+                      sp2_tight_bounds=True, max_iter=400,
+                      pack_orbitals=pq.packed_orbital_size(z[None])))
     out = jax.block_until_ready(jax.jit(
         lambda c: pq.energy(const, tables, cfg, species, c))(coords0))
     P0, F0 = out.P, out.F
@@ -122,7 +123,8 @@ def main(n_carbons=294):
     def sp2_fwd(F):
         with mmp:
             D = sp2(s0, F, cfg.scf.sp2_eps, cfg.scf.sp2_precision,
-                    cfg.scf.sp2_dots, cfg.scf.sp2_tight_bounds)
+                    cfg.scf.sp2_dots, cfg.scf.sp2_tight_bounds,
+                    pack_n=cfg.scf.pack_orbitals)
         return F + 1.0e-9 * D
 
     results["sp2_fwd"], _ = chain_timer(sp2_fwd, F0)
