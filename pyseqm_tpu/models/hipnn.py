@@ -1,0 +1,130 @@
+"""The reference's shipped trained HIP-NN parameter model, in JAX.
+
+The reference's production learned-Hamiltonian workflow drives PYSEQM with
+per-atom PM3 parameters predicted by a trained HIP-NN network
+(reference examples/test.py:26-41, examples/model/model.pt).  The model
+ships as a pickled hippynn GraphModule; ``tools/extract_hipnn.py``
+converts its trained weights + hyperparameters into the committed fixture
+``params/hipnn_pm3.npz`` which this module evaluates natively.
+
+Architecture (extracted from the pickle; HIP-NN per Lubbers, Smith &
+Barros, J. Chem. Phys. 148, 241715 (2018)):
+
+  one-hot(Z in [1,6,7,8])                                  (nmol, A, 4)
+  2 x [ interaction layer (20 inverse-distance sensitivities, cos^2
+        cutoff at 6 A) in a ResNet wrapper, then 3 atom-wise ResNet
+        layers ]  with nf=80, softplus activations
+  hierarchical head: one linear per feature level (input, block 1,
+        block 2), summed                                    (nmol, A, 9)
+  per-atom PM3 parameter k for atom a of element Z:
+        p_base[Z, k] + unit_weight[k] * head[a, k]
+  learned names: U_ss U_pp zeta_s zeta_p beta_p g_sp g_pp g_p2 h_sp
+
+The sensitivity function is s_v(r) = exp(-sigma_v^2 (1/r - 1/mu_v)^2 / 2)
+* cos^2(pi r / (2 r_hard)): the trained mu span exactly the configured
+soft window [0.65, 4.0] A evenly spaced in 1/r, and sigma ~ 26 is the
+inverse width matching that grid spacing — both pin the inverse-distance
+RBF parameterization.  hippynn itself is not importable in this
+environment, so the forward pass is re-derived from the published
+architecture + the extracted hyperparameters rather than checked
+bit-for-bit against hippynn's (documented honestly here; the physics
+tests below validate invariances, locality and SCF stability).
+
+TPU-first design: no pair lists or gathers — the pair field is the dense
+(nmol, A, A) grid (A is small for ML batches), sensitivities contract
+with features on the MXU via einsum, and everything jits/vmaps/shards
+with the rest of the framework.
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, Mapping, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_DEFAULT_PATH = os.path.join(os.path.dirname(__file__), "..", "params",
+                             "hipnn_pm3.npz")
+
+
+def load_hipnn(path: str = None, dtype=jnp.float32):
+    """(weights pytree, meta dict) from an extracted hipnn fixture."""
+    d = np.load(path or _DEFAULT_PATH)
+    meta = json.loads(bytes(d["__meta__"]).decode())
+    w = {k: jnp.asarray(d[k], dtype) for k in d.files if k != "__meta__"}
+    return w, meta
+
+
+def _resnet(x, y, res_w, res_b, adjust_w=None):
+    """hippynn ResNetWrapper with y = base_layer(x): res(softplus(y)) + skip."""
+    z = jax.nn.softplus(y)
+    z = z @ res_w.T + res_b
+    skip = x if adjust_w is None else x @ adjust_w.T
+    return z + skip
+
+
+def hipnn_features(w, meta, species, coordinates):
+    """Per-atom feature levels [one-hot, block0, block1]."""
+    dtype = coordinates.dtype
+    A = species.shape[1]
+    order = jnp.asarray(meta["species_order"])            # [1, 6, 7, 8]
+    feat = (species[..., None] == order[None, None, :]).astype(dtype)
+
+    amask = species > 0
+    dvec = coordinates[:, :, None, :] - coordinates[:, None, :, :]
+    r2 = jnp.sum(dvec * dvec, axis=-1)
+    eye = jnp.eye(A, dtype=bool)
+    pair_ok = (amask[:, :, None] & amask[:, None, :]) & ~eye[None]
+    rhard = meta["dist_hard_max"]
+    r = jnp.sqrt(jnp.where(pair_ok, r2, 4.0 * rhard * rhard))
+    pair_ok = pair_ok & (r < rhard)
+    inv_r = 1.0 / r
+    cut = jnp.where(pair_ok,
+                    jnp.cos(0.5 * jnp.pi * jnp.minimum(r, rhard) / rhard) ** 2,
+                    0.0)
+
+    levels = [feat]
+    for bi in range(meta["n_blocks"]):
+        p = f"b{bi}_"
+        mu, sigma = w[p + "mu"], w[p + "sigma"]
+        z = (inv_r[..., None] - 1.0 / mu) * sigma         # (nmol, A, A, S)
+        sens = jnp.exp(-0.5 * z * z) * cut[..., None]
+        env = jnp.einsum("nijs,njf->nisf", sens, feat)
+        y = jnp.einsum("nisf,sof->nio", env, w[p + "int_weights"])
+        y = y + feat @ w[p + "self_w"].T + w[p + "self_b"]
+        feat = _resnet(feat, y, w[p + "ires_w"], w[p + "ires_b"],
+                       w.get(p + "adjust_w"))
+        for ai in range(meta["n_atom_layers"]):
+            ap = f"{p}a{ai}_"
+            y = feat @ w[ap + "base_w"].T + w[ap + "base_b"]
+            feat = _resnet(feat, y, w[ap + "res_w"], w[ap + "res_b"])
+        levels.append(feat)
+    return levels
+
+
+def predict_seqm_parameters(w, meta, species, coordinates
+                            ) -> Dict[str, jnp.ndarray]:
+    """{PM3 param name: (nmol, A) per-atom values} from the trained net."""
+    levels = hipnn_features(w, meta, species, coordinates)
+    pred = None
+    for li, x in enumerate(levels):
+        h = x @ w[f"head{li}_w"].T + w[f"head{li}_b"]
+        pred = h if pred is None else pred + h            # hierarchical sum
+    base = w["seqm_p"][species]                           # (nmol, A, 9)
+    par = base + pred * w["seqm_weight"]
+    par = jnp.where((species > 0)[..., None], par, 0.0)
+    return {name: par[..., i] for i, name in enumerate(meta["learned"])}
+
+
+def make_hipnn_callable(path: str = None, dtype=jnp.float32):
+    """The ``learned_parameters`` callable for energy()/force()/MD drivers
+    (contract of basics.py:279-283), evaluating the reference's shipped
+    trained model."""
+    w, meta = load_hipnn(path, dtype)
+
+    def f(species, coordinates):
+        return predict_seqm_parameters(w, meta, species, coordinates)
+
+    return f
