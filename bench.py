@@ -44,8 +44,11 @@ def bench_tpu(nmol=NMOL, chunk=CHUNK, repeats=3, timing=False, ml=False,
 
     tm = Timing() if timing else None
 
+    # ml: False | True (random-init JAX network) | "trained" (the
+    # reference's shipped HIP-NN model, which predicts PM3 parameters)
+    method = "PM3" if ml == "trained" else "AM1"
     const, tables, cfg = pq.build(
-        "AM1", dtype=jnp.float32, dense_pair_grid=dense,
+        method, dtype=jnp.float32, dense_pair_grid=dense,
         scf=SCFConfig(eps=1.0e-5, converger=(2,), use_sp2=True,
                       sp2_eps=1.0e-4, max_iter=200))
     sp, co = make_batch(nmol, MOLSIZE, jitter=0.02)
@@ -53,7 +56,13 @@ def bench_tpu(nmol=NMOL, chunk=CHUNK, repeats=3, timing=False, ml=False,
     coords = jnp.asarray(co, dtype=jnp.float32)
 
     learned = None
-    if ml:
+    if ml == "trained":
+        # the real trained learned-Hamiltonian workload (examples/test.py
+        # :26-41): per-atom PM3 parameters from the shipped HIP-NN model,
+        # re-evaluated natively every MD step (models/hipnn.py)
+        from pyseqm_tpu.models.hipnn import make_hipnn_callable
+        learned = make_hipnn_callable()
+    elif ml:
         # learned-Hamiltonian flagship (BASELINE config 5): per-atom NDDO
         # parameters predicted each step by a geometry-dependent network
         # through the learned_parameters callable path.  The reference's
@@ -336,7 +345,8 @@ def main():
     ap.add_argument("--dense", action="store_true",
                     help="force the dense-A^2 integral pipeline on")
     ap.add_argument("--config",
-                    choices=["xlbomd", "xlbomd-ml", "scf", "scf-eigh",
+                    choices=["xlbomd", "xlbomd-ml", "xlbomd-ml-trained",
+                             "scf", "scf-eigh",
                              "bomd", "opt", "opt-sd", "nanostar"],
                     default="xlbomd")
     args = ap.parse_args()
@@ -350,6 +360,11 @@ def main():
     if args.config == "xlbomd-ml":
         value, epot = bench_tpu(args.nmol, timing=args.timing, ml=True)
         emit(f"xlbomd_ml_am1_sp2_steps_per_sec@{args.nmol}mol", value,
+             "steps/sec", None)
+        return
+    if args.config == "xlbomd-ml-trained":
+        value, epot = bench_tpu(args.nmol, timing=args.timing, ml="trained")
+        emit(f"xlbomd_hipnn_pm3_sp2_steps_per_sec@{args.nmol}mol", value,
              "steps/sec", None)
         return
     if args.config == "scf":
