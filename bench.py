@@ -294,7 +294,7 @@ def bench_nanostar(n_carbons=294, repeats=3):
         # runs SP2 at the compact 1792 instead of the 4A=3536 layout
         # (hydrogen p-padding): ~8x fewer matmul FLOPs.
         scf=SCFConfig(eps=1.0e-3, converger=(2,), use_sp2=True,
-                      sp2_eps=1.0e-4, sp2_precision="high",
+                      sp2_eps=1.0e-4, sp2_precision="highest",
                       sp2_tight_bounds=True, max_iter=400,
                       pack_orbitals=pq.packed_orbital_size(z[None])))
     out = jax.block_until_ready(jax.jit(

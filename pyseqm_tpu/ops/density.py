@@ -20,6 +20,8 @@ import jax.numpy as jnp
 from ..system import System
 
 SP2_MAX_ITER = 200
+# experiment hook: force the XLA-SP2 while-chunk length (None = size-based)
+SP2_CHUNK_OVERRIDE = None
 
 
 def orbital_mask(sys: System) -> jnp.ndarray:
@@ -277,16 +279,25 @@ def sp2(sys: System, F: jnp.ndarray, eps: float = 1.0e-4,
     dtype = F.dtype
     f32 = dtype == jnp.float32
     eps_kernel = max(eps, 1.0e-5)   # pallas kernel: exact-f32 dots
+    n_eps = F.shape[-1] if pack_n is None else min(pack_n, F.shape[-1])
     if f32:
-        # XLA fallback floor.  With explicit HIGH/HIGHEST dots the trace
-        # noise is set by the row-first Frobenius reduction (~1e-4 at
-        # n~3536, see frob2); floor at 3e-4 (3x margin so the
-        # no-improvement stop rule still fires instead of running to the
-        # iteration cap).  Only precision="default" rides the caller's
-        # matmul context, where a bf16 pass forces the old 1e-2 bound.
-        # (An eps floored at 1e-2 leaks ~eps x 20 eV/electron of Tr(DF)
-        # readout noise into energies — the round-3 XL-drift finding.)
-        eps = max(eps, 1.0e-2 if precision == "default" else 3.0e-4)
+        # XLA fallback floor.  With HIGHEST dots the trace noise is set by
+        # the row-first Frobenius reduction (~1e-4 at n~3536, see frob2);
+        # floor at 3e-4 (3x margin so the no-improvement stop rule still
+        # fires instead of running to the iteration cap).  HIGH's 3-pass
+        # matmul noise GROWS with n (measured exact-trace floor ~3e-3 at
+        # n=1792 — an eps below that silently runs to SP2_MAX_ITER, which
+        # is both 6x slower than HIGHEST-with-convergence and noisier) —
+        # scale its floor ~2e-6 n.  "default" rides the caller's matmul
+        # context, where a bf16 pass forces the old 1e-2 bound.  (An eps
+        # floored at 1e-2 leaks ~eps x 20 eV/electron of Tr(DF) readout
+        # noise into energies — the round-3 XL-drift finding.)
+        if precision == "default":
+            eps = max(eps, 1.0e-2)
+        elif precision == "high":
+            eps = max(eps, 3.0e-4, 2.0e-6 * n_eps)
+        else:
+            eps = max(eps, 3.0e-4)
     else:
         eps = min(max(eps, 1.0e-7), 1.0e-3)
 
@@ -419,7 +430,7 @@ def sp2(sys: System, F: jnp.ndarray, eps: float = 1.0e-4,
     # in-chunk iterations after convergence are no-ops).  Large single
     # molecules pay ~ms per iteration of real matmul work, so overshoot
     # costs more than dispatch there — use short chunks.
-    CHUNK = 16 if n < 1024 else 4
+    CHUNK = SP2_CHUNK_OVERRIDE or (16 if n < 1024 else 4)
 
     def chunk(st):
         st = jax.lax.fori_loop(0, CHUNK, lambda i, s: body_masked(s), st)

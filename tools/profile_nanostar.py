@@ -64,7 +64,7 @@ def main(n_carbons=294):
     const, tables, cfg = pq.build(
         "AM1", dtype=jnp.float32,
         scf=SCFConfig(eps=1.0e-3, converger=(2,), use_sp2=True,
-                      sp2_eps=1.0e-4, sp2_precision="high",
+                      sp2_eps=1.0e-4, sp2_precision="highest",
                       sp2_tight_bounds=True, max_iter=400,
                       pack_orbitals=pq.packed_orbital_size(z[None])))
     out = jax.block_until_ready(jax.jit(
