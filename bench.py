@@ -27,13 +27,17 @@ BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "benchmarks", "ref_cpu_baseline.json")
 
 
+def _enable_compile_cache():
+    # persistent compile cache: the big DIIS/while_loop programs compile
+    # once per machine instead of once per process
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def bench_tpu(nmol=NMOL, chunk=CHUNK, repeats=3, timing=False, ml=False,
               dense=None):
     import jax
-    # persistent compile cache: the big DIIS/while_loop programs compile
-    # once per machine instead of once per process
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     import pyseqm_tpu as pq
     from pyseqm_tpu.drivers.md import MDConfig
@@ -47,11 +51,14 @@ def bench_tpu(nmol=NMOL, chunk=CHUNK, repeats=3, timing=False, ml=False,
     # ml: False | True (random-init JAX network) | "trained" (the
     # reference's shipped HIP-NN model, which predicts PM3 parameters)
     method = "PM3" if ml == "trained" else "AM1"
+    sp, co = make_batch(nmol, MOLSIZE, jitter=0.02)
     const, tables, cfg = pq.build(
         method, dtype=jnp.float32, dense_pair_grid=dense,
+        # pack_heavy: SP2 runs at the static compact orbital size (16 vs
+        # 32 for this batch) — gather-free packing, ~4x fewer MXU FLOPs
         scf=SCFConfig(eps=1.0e-5, converger=(2,), use_sp2=True,
-                      sp2_eps=1.0e-4, max_iter=200))
-    sp, co = make_batch(nmol, MOLSIZE, jitter=0.02)
+                      sp2_eps=1.0e-4, max_iter=200,
+                      pack_heavy=pq.packed_heavy_count(sp)))
     species = jnp.asarray(sp)
     coords = jnp.asarray(co, dtype=jnp.float32)
 
@@ -163,17 +170,19 @@ def bench_scf(nmol=NMOL, repeats=3, eigh=False):
     from pyseqm_tpu.scf import SCFConfig
     from pyseqm_tpu.utils.molecules import make_batch
 
+    sp, co = make_batch(nmol, MOLSIZE, jitter=0.02)
     if eigh:
         scf = SCFConfig(eps=1.0e-5, converger=(2,), use_sp2=False,
-                        max_iter=200)
+                        max_iter=200,
+                        pack_heavy=pq.packed_heavy_count(sp))
     else:
         # reference-class eps: the v3 kernel's ~1e-5 trace floor lets
         # f32+SP2 converge at 1e-5 (measured: 0 unconverged of 10240,
         # same speed as 1e-3)
         scf = SCFConfig(eps=1.0e-5, converger=(2,), use_sp2=True,
-                        sp2_eps=1.0e-4, max_iter=200)
+                        sp2_eps=1.0e-4, max_iter=200,
+                        pack_heavy=pq.packed_heavy_count(sp))
     const, tables, cfg = pq.build("AM1", dtype=jnp.float32, scf=scf)
-    sp, co = make_batch(nmol, MOLSIZE, jitter=0.02)
     species = jnp.asarray(sp)
     coords = jnp.asarray(co, dtype=jnp.float32)
     efn = jax.jit(lambda c: pq.energy(const, tables, cfg, species, c).Hf)
@@ -199,11 +208,12 @@ def bench_bomd(nmol=NMOL, repeats=3):
     from pyseqm_tpu.scf import SCFConfig
     from pyseqm_tpu.utils.molecules import make_batch
 
+    sp, co = make_batch(nmol, MOLSIZE, jitter=0.02)
     const, tables, cfg = pq.build(
         "AM1", dtype=jnp.float32,
         scf=SCFConfig(eps=1.0e-4, converger=(2,), use_sp2=True,
-                      sp2_eps=1.0e-4, max_iter=200))
-    sp, co = make_batch(nmol, MOLSIZE, jitter=0.02)
+                      sp2_eps=1.0e-4, max_iter=200,
+                      pack_heavy=pq.packed_heavy_count(sp)))
     species = jnp.asarray(sp)
     coords = jnp.asarray(co, dtype=jnp.float32)
     md = LangevinDynamics(const, tables, cfg,
@@ -239,11 +249,12 @@ def bench_opt(nmol=2048, max_evl=60, sd=False):
     from pyseqm_tpu.scf import SCFConfig
     from pyseqm_tpu.utils.molecules import make_batch
 
+    sp, co = make_batch(nmol, MOLSIZE, jitter=0.05)
     const, tables, cfg = pq.build(
         "AM1", dtype=jnp.float32,
         scf=SCFConfig(eps=1.0e-4, converger=(2,), use_sp2=True,
-                      sp2_eps=1.0e-4, max_iter=200))
-    sp, co = make_batch(nmol, MOLSIZE, jitter=0.05)
+                      sp2_eps=1.0e-4, max_iter=200,
+                      pack_heavy=pq.packed_heavy_count(sp)))
     species = jnp.asarray(sp)
     coords = jnp.asarray(co, dtype=jnp.float32)
     if sd:
@@ -259,13 +270,28 @@ def bench_opt(nmol=2048, max_evl=60, sd=False):
                           "evals": max_evl, "wall_s": round(dt, 2)}),
               file=sys.stderr)
         return nmol * max_evl / dt
-    # warmup/compile one step via a tiny run
-    geometry_optimize_lbfgs(const, tables, cfg, species, coords,
-                            force_tol=1.0e10, max_evl=1)
+    # build the stepper ONCE (warmup and timed runs share one jit program:
+    # a second wrapper would re-lower + re-compile the linesearch+SCF
+    # while_loop nest — the round-3 battery's "opt compile hang")
+    from pyseqm_tpu.drivers.opt import make_lbfgs
+    import jax
+    init, step = make_lbfgs(const, tables, cfg, species)
     t0 = time.perf_counter()
-    x, ferr, iters = geometry_optimize_lbfgs(const, tables, cfg, species,
-                                             coords, force_tol=1.0e-3,
-                                             max_evl=max_evl)
+    state = init(coords)
+    jax.block_until_ready(step(coords, state))           # compile + 1 step
+    print(json.dumps({"compile_plus_first_step_s":
+                      round(time.perf_counter() - t0, 1)}), file=sys.stderr)
+    state = init(coords)
+    x = coords
+    ferr = float("inf")
+    iters = 0
+    t0 = time.perf_counter()
+    for i in range(max_evl):
+        xn, state, value, ferr = step(x, state)
+        iters = i + 1
+        if float(ferr) <= 1.0e-3:
+            break
+        x = xn
     dt = time.perf_counter() - t0
     print(json.dumps({"final_max_force": float(ferr),
                       "iters": iters, "wall_s": round(dt, 2)}),
@@ -290,13 +316,14 @@ def bench_nanostar(n_carbons=294, repeats=3):
         "AM1", dtype=jnp.float32,
         # tight_bounds: Gelfand-refined spectral bounds halve the XLA-SP2
         # iteration count (measured 32 -> 16 at n=368, identical P) for
-        # two extra matmuls — a clear win at this size.  pack_orbitals
-        # runs SP2 at the compact 1792 instead of the 4A=3536 layout
-        # (hydrogen p-padding): ~8x fewer matmul FLOPs.
+        # two extra matmuls — a clear win at this size.  pack_heavy runs
+        # SP2 at the static compact 1792 instead of the 4A=3536 layout
+        # (hydrogen p-padding): ~8x fewer matmul FLOPs, gather-free.
         scf=SCFConfig(eps=1.0e-3, converger=(2,), use_sp2=True,
                       sp2_eps=1.0e-4, sp2_precision="highest",
                       sp2_tight_bounds=True, max_iter=400,
-                      pack_orbitals=pq.packed_orbital_size(z[None])))
+                      pack_orbitals=pq.packed_orbital_size(z[None]),
+                      pack_heavy=pq.packed_heavy_count(z[None])))
     out = jax.block_until_ready(jax.jit(
         lambda c: pq.energy(const, tables, cfg, species, c))(coords))
 
@@ -350,6 +377,8 @@ def main():
                              "bomd", "opt", "opt-sd", "nanostar"],
                     default="xlbomd")
     args = ap.parse_args()
+    if not args.measure_ref:
+        _enable_compile_cache()
 
     def emit(metric, value, unit, ref_key, ndigits=3):
         ref = _ref_value(ref_key) if ref_key else None

@@ -88,13 +88,24 @@ def geometry_optimize_sd_ls(
     return coordinates, jnp.asarray(ferr)
 
 
-def geometry_optimize_lbfgs(
-    const: Constants, tables, cfg: SEQMConfig, species, coordinates,
-    force_tol: float = 1.0e-4, max_evl: int = 300, learned=None,
-    log: bool = False,
-):
-    """Batched L-BFGS via optax (the production path; the reference drives
-    scipy L-BFGS-B with its energy+grad predictor, examples/opt.py:63-79)."""
+def make_lbfgs(const: Constants, tables, cfg: SEQMConfig, species,
+               learned=None, linesearch: str = "zoom",
+               max_linesearch_steps: int = 15):
+    """Build a batched L-BFGS stepper: returns (init_fn, step_fn).
+
+    step_fn(coords, state) -> (new_coords, state, value, max|grad|), one
+    jitted outer iteration.  Building the stepper ONCE and reusing it
+    matters: the step program nests full SCF evaluations inside the
+    linesearch while_loop, and every fresh ``jax.jit`` wrapper re-lowers
+    and re-compiles it (minutes at 10k-molecule scale — the round-3
+    battery's "opt hang" was the warmup call and the timed call each
+    compiling their own copy).
+
+    linesearch: "zoom" (optax default, strong-Wolfe quality),
+    "backtracking" (value-only Armijo loop — ~40% faster lowering,
+    smaller program), or "none" (fixed unit step on the preconditioned
+    direction; cheapest compile).
+    """
     import optax
 
     amask = (species > 0)[..., None]
@@ -103,7 +114,13 @@ def geometry_optimize_lbfgs(
         out = energy(const, tables, cfg, species, coords, learned=learned)
         return jnp.sum(out.Hf)
 
-    opt = optax.lbfgs()
+    if linesearch == "backtracking":
+        opt = optax.lbfgs(linesearch=optax.scale_by_backtracking_linesearch(
+            max_backtracking_steps=max_linesearch_steps, store_grad=True))
+    elif linesearch == "none":
+        opt = optax.lbfgs(learning_rate=1.0, linesearch=None)
+    else:
+        opt = optax.lbfgs()
 
     @jax.jit
     def step(coords, state):
@@ -114,7 +131,19 @@ def geometry_optimize_lbfgs(
         return optax.apply_updates(coords, updates), state, value, \
             jnp.max(jnp.abs(grads))
 
-    state = opt.init(coordinates)
+    return opt.init, step
+
+
+def geometry_optimize_lbfgs(
+    const: Constants, tables, cfg: SEQMConfig, species, coordinates,
+    force_tol: float = 1.0e-4, max_evl: int = 300, learned=None,
+    log: bool = False, linesearch: str = "zoom",
+):
+    """Batched L-BFGS via optax (the production path; the reference drives
+    scipy L-BFGS-B with its energy+grad predictor, examples/opt.py:63-79)."""
+    init, step = make_lbfgs(const, tables, cfg, species, learned=learned,
+                            linesearch=linesearch)
+    state = init(coordinates)
     ferr = jnp.inf
     iters = 0
     for i in range(max_evl):

@@ -69,7 +69,8 @@ def _energy_xl_impl(const, tables, cfg, species, coordinates, P, learned,
     if cfg.scf.use_sp2:
         D = sp2(sys, jax.lax.stop_gradient(F), cfg.scf.sp2_eps,
                 cfg.scf.sp2_precision, cfg.scf.sp2_dots,
-                cfg.scf.sp2_tight_bounds, pack_n=cfg.scf.pack_orbitals)
+                cfg.scf.sp2_tight_bounds, pack_n=cfg.scf.pack_orbitals,
+                pack_heavy=cfg.scf.pack_heavy)
         if cfg.scf.sp2_rescue > 0.0:
             from ..ops.density import eigh_rescue
             # the propagated field P tracks the physical state, so
@@ -79,7 +80,8 @@ def _energy_xl_impl(const, tables, cfg, species, coordinates, P, learned,
                             ref=jax.lax.stop_gradient(P))
     else:
         D = sym_eig(sys, jax.lax.stop_gradient(F),
-                    pack_n=cfg.scf.pack_orbitals)[1]
+                    pack_n=cfg.scf.pack_orbitals,
+                    pack_heavy=cfg.scf.pack_heavy)[1]
     D = jax.lax.stop_gradient(D)
 
     EnucAB, enuc_mask = _nuclear_term(const, sys, w, cfg, p)

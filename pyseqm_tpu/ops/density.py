@@ -106,6 +106,76 @@ def packed_orbital_size(species, multiple: int = 128) -> int:
     return int(min(n_full, -(-norb_max // multiple) * multiple))
 
 
+def packed_heavy_count(species) -> int:
+    """STATIC max heavy-atom count for SCFConfig.pack_heavy.
+
+    ``species`` must be concrete (outside jit).  Returns the largest
+    per-molecule heavy-atom count K; the static packed layout keeps the
+    full 4-orbital block for the first K atom slots and only the
+    s-orbital for the rest, which is valid because atoms are sorted by
+    descending atomic number (system.py), so every atom at position >= K
+    is hydrogen or padding in every molecule.  Validated here.
+    """
+    import numpy as np
+    sp = np.asarray(species)
+    K = int((sp > 1).sum(axis=-1).max())
+    if not (sp[..., K:] <= 1).all():
+        raise ValueError(
+            "static orbital packing requires atoms sorted by descending "
+            "atomic number (heavy atoms first in every molecule)")
+    return K
+
+
+def static_pack_size(K: int, A: int, multiple: int = 16) -> int:
+    """Packed size of the static layout: 4K heavy-block orbitals plus one
+    s-orbital per remaining atom slot, rounded up to an MXU-friendly
+    multiple, clamped to the full 4A."""
+    return int(min(4 * A, -(-(3 * K + A) // multiple) * multiple))
+
+
+def _static_pack_rows(X, K: int, n_st: int):
+    """(B, 4A, c) -> (B, n_st, c): keep rows [0, 4K), then the s-row of
+    every later atom (pure slice/reshape/concat — no gathers; cf. the
+    take_along_axis permutation, measured 18 ms at (10240, 32, 32))."""
+    B, r, c = X.shape
+    A = r // 4
+    hs = X.reshape(B, A, 4, c)[:, K:, 0, :]
+    rows = jnp.concatenate([X[:, :4 * K], hs], axis=1)
+    if n_st > rows.shape[1]:
+        rows = jnp.pad(rows, ((0, 0), (0, n_st - rows.shape[1]), (0, 0)))
+    return rows
+
+
+def static_pack_mat(X, K: int, n_st: int):
+    """(B, 4A, 4A) -> (B, n_st, n_st) static compact layout."""
+    Xp = _static_pack_rows(X, K, n_st)
+    Xp = _static_pack_rows(jnp.swapaxes(Xp, 1, 2), K, n_st)
+    return jnp.swapaxes(Xp, 1, 2)
+
+
+def static_pack_vec(v, K: int, n_st: int):
+    """(B, 4A) -> (B, n_st)."""
+    return _static_pack_rows(v[:, :, None], K, n_st)[:, :, 0]
+
+
+def _static_unpack_rows(Xp, K: int, A: int):
+    """(B, n_st, c) -> (B, 4A, c): re-expand the s-only tail with zero
+    p-rows (stack + reshape — no scatters)."""
+    B, _, c = Xp.shape
+    heavy = Xp[:, :4 * K]
+    hs = Xp[:, 4 * K:4 * K + (A - K)]
+    z = jnp.zeros((B, A - K, 3, c), Xp.dtype)
+    hyd = jnp.concatenate([hs[:, :, None, :], z], axis=2)
+    return jnp.concatenate([heavy, hyd.reshape(B, 4 * (A - K), c)], axis=1)
+
+
+def static_unpack_mat(Xp, K: int, A: int):
+    """(B, n_st, n_st) -> (B, 4A, 4A), zeros on the dropped p rows/cols."""
+    X = _static_unpack_rows(Xp, K, A)
+    X = _static_unpack_rows(jnp.swapaxes(X, 1, 2), K, A)
+    return jnp.swapaxes(X, 1, 2)
+
+
 def _pack_slice(Fp, pack_n):
     """Slice the valid-orbitals-first permuted matrix to the static
     compact size.  Rows >= pack_n are pure decoupled padding (zero
@@ -123,13 +193,16 @@ def _unpack_embed(Pp, n):
 
 
 def sym_eig(sys: System, F: jnp.ndarray, eig_only: bool = False,
-            check_degeneracy: bool = False, pack_n: int = None):
+            check_degeneracy: bool = False, pack_n: int = None,
+            pack_heavy: int = None):
     """Batched eigendecomposition of the Fock matrix.
 
     Returns (e, P, v): orbital energies (nmol, 4A) zero-padded after norb,
     density P = 2 V_occ V_occ^T in the original orbital layout, and the
-    eigenvectors v in the *packed* (permuted) layout (compact pack_n
-    rows/cols when pack_n is set — see packed_orbital_size).
+    eigenvectors v in the *packed* layout — permuted valid-first rows
+    (compact pack_n rows/cols when pack_n is set), or the static compact
+    layout when pack_heavy is set (gather-free; see static_pack_mat).
+    Density-only callers use P; v consumers must not set pack_heavy.
     """
     # materialize F once: the prep consumes it several times (permute,
     # Gershgorin, padding fill) and XLA otherwise re-fuses the producer
@@ -137,12 +210,42 @@ def sym_eig(sys: System, F: jnp.ndarray, eig_only: bool = False,
     # (10240, 32, 32) on the SP2 side of the same boundary
     F = jax.lax.optimization_barrier(F)
     n = F.shape[-1]
-    perm, inv = orbital_permutation(sys)
-    Fp = permute_mat(F, perm)
-    if pack_n is not None and pack_n < n:
-        Fp = _pack_slice(Fp, pack_n)
-    h1, hN = _gershgorin(Fp)
-    Fp = _fill_padding_diag(Fp, sys.norb, h1, hN)
+    A = sys.species.shape[1]
+    n_st = None
+    if pack_heavy is not None:
+        n_st = static_pack_size(pack_heavy, A, multiple=16)
+        if n_st > 128:
+            n_st = static_pack_size(pack_heavy, A, multiple=128)
+        if n_st >= n:
+            n_st = None
+    if n_st is not None:
+        mfull = orbital_mask(sys).astype(F.dtype)
+        Fp = static_pack_mat(F * (mfull[:, :, None] * mfull[:, None, :]),
+                             pack_heavy, n_st)
+        mk = static_pack_vec(mfull, pack_heavy, n_st)
+        h1, hN = _gershgorin(Fp)
+        # dead rows (interior p-rows of lighter molecules + tail padding)
+        # get distinct above-spectrum diagonal values (cf. diag.py:120-130)
+        idxs = jnp.arange(n_st)
+        val = (1.0 + 0.005 * (idxs + 1).astype(F.dtype)) \
+            * (hN - h1)[:, None] + hN[:, None]
+        diag = jnp.where(mk == 0.0, val,
+                         jnp.diagonal(Fp, axis1=-2, axis2=-1))
+        Fp = Fp.at[:, idxs, idxs].set(diag)
+
+        def unpack(a):
+            # caller masks padding rows/cols right after
+            return static_unpack_mat(a, pack_heavy, A)
+    else:
+        perm, inv = orbital_permutation(sys)
+        Fp = permute_mat(F, perm)
+        if pack_n is not None and pack_n < n:
+            Fp = _pack_slice(Fp, pack_n)
+        h1, hN = _gershgorin(Fp)
+        Fp = _fill_padding_diag(Fp, sys.norb, h1, hN)
+
+        def unpack(a):
+            return permute_mat(_unpack_embed(a, n), inv)
 
     from . import eigh_pallas
     if eigh_pallas.supported(Fp.shape[-1], F.dtype):
@@ -161,7 +264,7 @@ def sym_eig(sys: System, F: jnp.ndarray, eig_only: bool = False,
 
     occ = _occupations(e0, sys.nocc, F.dtype, check_degeneracy)
     Pp = 2.0 * jnp.einsum('nik,nk,njk->nij', v, occ, v)
-    P = permute_mat(_unpack_embed(Pp, n), inv)
+    P = unpack(Pp)
     m = orbital_mask(sys).astype(F.dtype)
     P = P * m[:, :, None] * m[:, None, :]
     return e, P, v
@@ -257,7 +360,8 @@ def _gelfand_radius(Fc, sigma, squarings=2):
 def sp2(sys: System, F: jnp.ndarray, eps: float = 1.0e-4,
         precision: str = "highest", dots: str = "highest",
         tight_bounds: bool = False, sort_packing: bool = False,
-        debug_iters: bool = False, pack_n: int = None):
+        debug_iters: bool = False, pack_n: int = None,
+        pack_heavy: int = None):
     """SP2 density-matrix purification (cf. SP2.py:3-72).
 
     Pure batched matmuls — the TPU-preferred density path.  Per-molecule
@@ -270,6 +374,14 @@ def sp2(sys: System, F: jnp.ndarray, eps: float = 1.0e-4,
     trace-eps floor at 1e-4 — see SCFConfig.sp2_precision; "default"
     rides the caller's matmul context and forces a 1e-2 floor).  The
     Pallas kernel path always runs HIGHEST-precision dots.
+
+    ``pack_heavy`` (static, see packed_heavy_count) enables the gather-free
+    compact-orbital layout: the iteration runs at static_pack_size(K, A)
+    instead of 4A — 4x fewer MXU FLOPs on hydrogen-rich batches (headline
+    small organics: 16 vs 32) via pure reshape/slice packing.  Preferred
+    over ``pack_n``, whose per-molecule permutation gathers cost more than
+    the packed solve saves at small n (measured 18 ms vs a 7 ms win at
+    (10240, 32, 32)).
     """
     # materialize F once before the multi-consumer prep (mask multiply,
     # Gershgorin, a0 build): without this barrier XLA re-fuses the whole
@@ -279,7 +391,19 @@ def sp2(sys: System, F: jnp.ndarray, eps: float = 1.0e-4,
     dtype = F.dtype
     f32 = dtype == jnp.float32
     eps_kernel = max(eps, 1.0e-5)   # pallas kernel: exact-f32 dots
-    n_eps = F.shape[-1] if pack_n is None else min(pack_n, F.shape[-1])
+    A = sys.species.shape[1]
+    n_st = None
+    if pack_heavy is not None:
+        n_st = static_pack_size(pack_heavy, A, multiple=16)
+        if n_st > 128:      # beyond the kernel: align to full MXU tiles
+            n_st = static_pack_size(pack_heavy, A, multiple=128)
+    if n_st is not None and n_st >= F.shape[-1]:
+        n_st = None                 # packing cannot shrink the solve
+    n_eps = F.shape[-1]
+    if pack_n is not None:
+        n_eps = min(pack_n, n_eps)
+    if n_st is not None:
+        n_eps = min(n_st, n_eps)
     if f32:
         # XLA fallback floor.  With HIGHEST dots the trace noise is set by
         # the row-first Frobenius reduction (~1e-4 at n~3536, see frob2);
@@ -306,26 +430,35 @@ def sp2(sys: System, F: jnp.ndarray, eps: float = 1.0e-4,
     eye = jnp.eye(n, dtype=dtype)
 
     from . import sp2_pallas
-    if sp2_pallas.supported(n, dtype):
+    n_kernel = n_st if n_st is not None else n
+    if sp2_pallas.supported(n_kernel, dtype):
         # SP2 never sorts eigenvalues, so (unlike the eigh path) padding
         # orbitals need no valid-first permutation — pin their diagonal at
-        # hN in place and mask afterwards.  The four take_along_axis
-        # gathers the permutation cost were ~1/3 of the SP2 wall time.
+        # hN in place and mask afterwards.  (take_along_axis permutation
+        # gathers cost ~18 ms at (10240, 32, 32) — never gather here.)
         m = orbital_mask(sys).astype(dtype)
         mm = m[:, :, None] * m[:, None, :]
         Fm = F * mm                      # zero padding rows/cols
+        if n_st is not None:
+            # gather-free static compact layout (see pack_heavy above):
+            # dead hydrogen p-rows land *interior*, pinned like padding
+            Fm = static_pack_mat(Fm, pack_heavy, n_st)
+            mk = static_pack_vec(m, pack_heavy, n_st)
+        else:
+            mk = m
+        eye_k = jnp.eye(n_kernel, dtype=dtype)
         h1, hN = _gershgorin(Fm)
         if tight_bounds:
             # pin padding mid-spectrum so it cannot widen the estimate,
             # refine, then re-pin at the tightened upper bound below
             sigma = 0.5 * (h1 + hN)
-            Ftmp = Fm + eye[None] * ((1.0 - m) * sigma[:, None])[:, None, :]
+            Ftmp = Fm + eye_k[None] * ((1.0 - mk) * sigma[:, None])[:, None, :]
             r = 1.02 * _gelfand_radius(Ftmp, sigma)
             h1 = jnp.maximum(h1, sigma - r)
             hN = jnp.minimum(hN, sigma + r)
         # padding diagonal at hN -> scaled eigenvalue 0 -> occupation 0
-        Fp = Fm + eye[None] * ((1.0 - m) * hN[:, None])[:, None, :]
-        a0 = (eye[None] * hN[:, None, None] - Fp) / (hN - h1)[:, None, None]
+        Fp = Fm + eye_k[None] * ((1.0 - mk) * hN[:, None])[:, None, :]
+        a0 = (eye_k[None] * hN[:, None, None] - Fp) / (hN - h1)[:, None, None]
         if sort_packing and a0.shape[0] >= 1024:
             # each kernel program iterates until the SLOWEST of its 128
             # molecules converges; sorting by spectral spread groups
@@ -340,22 +473,42 @@ def sp2(sys: System, F: jnp.ndarray, eps: float = 1.0e-4,
                                            eps_kernel, dots)[inv]
         else:
             Pp = sp2_pallas.sp2_purify_tpu(a0, noccd, eps_kernel, dots)
+        if n_st is not None:
+            Pp = static_unpack_mat(Pp, pack_heavy, A)
         if debug_iters:
             return Pp * mm, jnp.asarray(-1)   # kernel path: count not exposed
         return Pp * mm
 
-    perm, inv = orbital_permutation(sys)
-    Fp = permute_mat(F, perm)
-    if pack_n is not None and pack_n < n:
-        # run the whole iteration at the compact valid-orbital size —
-        # hydrogen-rich molecules waste up to 8x matmul FLOPs at 4A
-        # (884-atom alkane: 1792 vs 3536; see packed_orbital_size)
-        Fp = _pack_slice(Fp, pack_n)
-        n = pack_n
+    if n_st is not None:
+        # gather-free static compact layout (see pack_heavy above); dead
+        # p-rows sit interior, flagged by the packed orbital mask
+        mfull = orbital_mask(sys).astype(dtype)
+        Fp = static_pack_mat(F * (mfull[:, :, None] * mfull[:, None, :]),
+                             pack_heavy, n_st)
+        mk = static_pack_vec(mfull, pack_heavy, n_st)
+        pad = mk == 0.0
+        n = n_st
         eye = jnp.eye(n, dtype=dtype)
+
+        def unpack(a):
+            return static_unpack_mat(a, pack_heavy, A)
+    else:
+        perm, inv = orbital_permutation(sys)
+        Fp = permute_mat(F, perm)
+        if pack_n is not None and pack_n < n:
+            # run the whole iteration at the compact valid-orbital size —
+            # hydrogen-rich molecules waste up to 8x matmul FLOPs at 4A
+            # (884-atom alkane: 1792 vs 3536; see packed_orbital_size)
+            Fp = _pack_slice(Fp, pack_n)
+            n = pack_n
+            eye = jnp.eye(n, dtype=dtype)
+        idx0 = jnp.arange(n)
+        pad = idx0[None, :] >= sys.norb[:, None]
+
+        def unpack(a):
+            return permute_mat(_unpack_embed(a, n_full), inv)
     h1, hN = _gershgorin(Fp)
     idx = jnp.arange(n)
-    pad = idx[None, :] >= sys.norb[:, None]
     if tight_bounds:
         # same Gelfand refinement as the kernel path: pin padding
         # mid-spectrum so it cannot widen the estimate, refine, then
@@ -439,7 +592,7 @@ def sp2(sys: System, F: jnp.ndarray, eps: float = 1.0e-4,
         return st._replace(tr_a=jnp.where(st.notconverged, tr_exact, st.tr_a))
 
     st = jax.lax.while_loop(cond, chunk, st)
-    P = permute_mat(_unpack_embed(2.0 * st.a0, n_full), inv)
+    P = unpack(2.0 * st.a0)
     m = orbital_mask(sys).astype(dtype)
     P = P * m[:, :, None] * m[:, None, :]
     if debug_iters:

@@ -119,6 +119,15 @@ class SCFConfig:
     # SP2 at 1792 instead of 3536).  MUST be >= every molecule's norb;
     # None = full 4A (always safe).
     pack_orbitals: Optional[int] = None
+    # STATIC max heavy-atom count enabling the *gather-free* compact
+    # layout (ops/density.py static_pack_mat): the first K atom slots
+    # keep their full 4-orbital block, later slots (hydrogen/padding in
+    # every molecule, guaranteed by the descending-Z sort) keep only s.
+    # Packs by pure reshape/slice — per-molecule permutation gathers cost
+    # more than the packed solve saves at small n (measured 18 ms at
+    # (10240, 32, 32)).  Use pyseqm_tpu.packed_heavy_count(species).
+    # Preferred over pack_orbitals wherever supported (currently SP2).
+    pack_heavy: Optional[int] = None
 
 
 def init_density(const: Constants, sys: System) -> jnp.ndarray:
@@ -143,9 +152,11 @@ def _make_density(sys: System, cfg: SCFConfig, differentiable: bool):
     if cfg.use_sp2 and not differentiable:
         return lambda F: sp2(sys, F, cfg.sp2_eps, cfg.sp2_precision,
                              cfg.sp2_dots, cfg.sp2_tight_bounds,
-                             pack_n=cfg.pack_orbitals)
+                             pack_n=cfg.pack_orbitals,
+                             pack_heavy=cfg.pack_heavy)
     return lambda F: sym_eig(sys, F, check_degeneracy=cfg.check_degeneracy,
-                             pack_n=cfg.pack_orbitals)[1]
+                             pack_n=cfg.pack_orbitals,
+                             pack_heavy=cfg.pack_heavy)[1]
 
 
 class _State(NamedTuple):
@@ -414,7 +425,8 @@ def make_scf_apply(cfg: SCFConfig):
 
         def step(P, M, w, pscf):
             return sym_eig(sys, fock(sys, P, M, w, pscf),
-                           pack_n=cfg.pack_orbitals)[1]
+                           pack_n=cfg.pack_orbitals,
+                           pack_heavy=cfg.pack_heavy)[1]
 
         _, vjp = jax.vjp(step, Pconv, M, w, pscf)
         converged = ~notconverged

@@ -219,3 +219,20 @@ def test_wapply_fused_kernel_matches_xla():
         for a, b in zip(gr, gg):
             s = float(jnp.abs(a).max())
             assert float(jnp.abs(a - b).max()) < 3.0e-6 * max(s, 1.0), perm
+
+
+def test_sp2_kernel_n16_interpret_parity():
+    """n=16 panel geometry (m=8 molecules per 128-lane tile) — the static
+    compact-orbital size the headline batch packs to (pack_heavy)."""
+    B, n, nocc = 20, 16, 5
+    F, P_exact = _gap_matrices(B, n, nocc, jax.random.PRNGKey(2))
+    aii = jnp.diagonal(F, axis1=-2, axis2=-1)
+    ri = jnp.sum(jnp.abs(F), axis=-1) - jnp.abs(aii)
+    h1 = jnp.min(aii - ri, axis=-1)
+    hN = jnp.max(aii + ri, axis=-1)
+    a0 = (jnp.eye(n, dtype=F.dtype)[None] * hN[:, None, None] - F) \
+        / (hN - h1)[:, None, None]
+    P = np.asarray(sp2_purify_tpu(a0, jnp.full((B,), float(nocc), jnp.float32),
+                                  1.0e-5, interpret=True))
+    assert P.shape == (B, n, n)
+    assert np.abs(P - np.asarray(P_exact)).max() < 5.0e-5

@@ -121,3 +121,66 @@ def test_packed_orbital_solvers_match_full():
                                             c, out.P))(coords)
     np.testing.assert_allclose(hf1, hf0, atol=1e-6)
     np.testing.assert_allclose(f1, f0, atol=1e-6)
+
+
+def test_static_packed_sp2_matches_full():
+    """SCFConfig.pack_heavy (gather-free static compact layout): packed
+    SP2 agrees with the full-4A solve in f64 through the XLA path, on a
+    heterogeneous batch where molecules with fewer heavies than K carry
+    *interior* dead p-rows, and through the XL-BOMD force step."""
+    from pyseqm_tpu.models.xlbomd import force_xl
+    from pyseqm_tpu.ops.density import (packed_heavy_count, sp2,
+                                        static_pack_mat, static_pack_size,
+                                        static_unpack_mat)
+    from pyseqm_tpu.system import make_system
+    from pyseqm_tpu.utils.molecules import make_batch
+
+    sp, co = make_batch(12, 8, jitter=0.02)      # mixed templates, K=2
+    species = jnp.asarray(sp)
+    coords = jnp.asarray(co, jnp.float64)
+    K = packed_heavy_count(sp)
+    assert K == 2
+    A = species.shape[1]
+    n_st = static_pack_size(K, A, multiple=16)
+    assert n_st == 16
+
+    # pack/unpack roundtrip is exact on masked matrices
+    const, tables, cfg = pq.build(
+        "AM1", dtype=jnp.float64, scf=SCFConfig(eps=1.0e-9, converger=(2,)))
+    out = jax.jit(lambda c: pq.energy(const, tables, cfg, species, c))(coords)
+    sys_ = jax.jit(lambda c: make_system(const, species, c))(coords)
+    from pyseqm_tpu.ops.density import orbital_mask
+    m = np.asarray(orbital_mask(sys_)).astype(np.float64)
+    Fm = np.asarray(out.F) * m[:, :, None] * m[:, None, :]
+    rt = static_unpack_mat(static_pack_mat(jnp.asarray(Fm), K, n_st), K, A)
+    np.testing.assert_array_equal(np.asarray(rt), Fm)
+
+    P_full = jax.jit(lambda F: sp2(sys_, F, 1e-7))(out.F)
+    P_pack = jax.jit(lambda F: sp2(sys_, F, 1e-7, pack_heavy=K))(out.F)
+    np.testing.assert_allclose(P_pack, P_full, atol=5e-7)
+
+    from pyseqm_tpu.ops.density import sym_eig
+    e1, Pf, _ = jax.jit(lambda F: sym_eig(sys_, F))(out.F)
+    e2, Pp = jax.jit(
+        lambda F: sym_eig(sys_, F, pack_heavy=K)[:2])(out.F)
+    np.testing.assert_allclose(Pp, Pf, atol=1e-9)
+    np.testing.assert_allclose(e2, e1, atol=1e-9)
+
+    cfg_pack = dataclasses.replace(
+        cfg, scf=dataclasses.replace(cfg.scf, use_sp2=True, sp2_eps=1e-7,
+                                     pack_heavy=K))
+    cfg_full = dataclasses.replace(
+        cfg, scf=dataclasses.replace(cfg.scf, use_sp2=True, sp2_eps=1e-7))
+    f0, hf0, _ = jax.jit(lambda c: force_xl(const, tables, cfg_full, species,
+                                            c, out.P))(coords)
+    f1, hf1, _ = jax.jit(lambda c: force_xl(const, tables, cfg_pack, species,
+                                            c, out.P))(coords)
+    np.testing.assert_allclose(hf1, hf0, atol=1e-6)
+    np.testing.assert_allclose(f1, f0, atol=1e-6)
+
+    # sorted-species validation: heavies must lead every molecule
+    bad = np.array(sp).copy()
+    bad[0] = bad[0][::-1]
+    import pytest
+    with pytest.raises(ValueError):
+        packed_heavy_count(bad)
