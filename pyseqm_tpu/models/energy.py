@@ -60,6 +60,13 @@ class SEQMConfig:
     # jax.checkpoint the integral stack (recompute in backward instead of
     # storing intermediates).  None = auto: on for A >= 32.
     remat_integrals: Optional[bool] = None
+    # class-segmented static pair packing (ops/hcore.py hcore_split): with
+    # K = scf.pack_heavy, the pair list is enumerated XX | XH | HH so each
+    # segment runs the reference's 22/4/1-integral pair-class formula on a
+    # static slice (~7x less per-pair transcendental work on organic
+    # batches).  None = auto: on for the flat path when scf.pack_heavy is
+    # set.  Flat path only (the dense grid has its own block layout).
+    pack_pairs: Optional[bool] = None
 
 
 class EnergyOutput(NamedTuple):
@@ -124,6 +131,23 @@ def _orbital_charges(sys: System, v: jnp.ndarray) -> jnp.ndarray:
     return charge
 
 
+def _resolve_pair_layout(cfg: SEQMConfig, A: int):
+    """(dense, packK): the integral layout decision, shared with
+    make_system so the pair enumeration and the hcore builder agree."""
+    dense = cfg.dense_pair_grid
+    if dense is None:
+        dense = A >= 64
+    pp = cfg.pack_pairs
+    if pp is None:
+        pp = (not dense) and (cfg.scf.pack_heavy is not None)
+    if pp and dense:
+        pp = False
+    if pp and cfg.scf.pack_heavy is None:
+        raise ValueError("pack_pairs=True requires scf.pack_heavy "
+                         "(= pyseqm_tpu.packed_heavy_count(species))")
+    return dense, (cfg.scf.pack_heavy if pp else None)
+
+
 def _integral_stack(const, sys, p, Kbeta, cfg):
     """Shared dense/flat integral plumbing for energy() and energy_xl().
 
@@ -146,15 +170,19 @@ def _integral_stack(const, sys, p, Kbeta, cfg):
     adds a full hcore forward, ~5 ms at 10k molecules, per force eval).
     """
     A = sys.species.shape[1]
-    dense = cfg.dense_pair_grid
-    if dense is None:
-        dense = A >= 64
+    dense, packK = _resolve_pair_layout(cfg, A)
     if dense:
         from ..ops.hcore import hcore_dense
 
         def build(const, sys, p, Kbeta):
             return hcore_dense(const, sys, p, cfg.pair_outer_cutoff,
                                Kbeta, cfg.precise_overlap)
+    elif packK is not None:
+        from ..ops.hcore import hcore_split
+
+        def build(const, sys, p, Kbeta):
+            return hcore_split(const, sys, p, packK, Kbeta,
+                               cfg.precise_overlap)
     else:
         def build(const, sys, p, Kbeta):
             return hcore(const, sys, p, Kbeta, False, cfg.precise_overlap)
@@ -184,7 +212,7 @@ def _nuclear_term(const, sys, w, cfg, p, gam=None):
                                          cfg.method, p,
                                          cfg.pair_outer_cutoff)
     if gam is None:
-        gam = w.ri[..., 0]  # (s_i s_i | s_j s_j)
+        gam = w.gam() if hasattr(w, "gam") else w.ri[..., 0]  # (ss|ss)
     return pair_nuclear_energy(const, sys, gam, cfg.method, p), None
 
 
@@ -209,8 +237,9 @@ def energy(
 
 def _energy_impl(const, tables, cfg, species, coordinates, learned, P0,
                  charges):
+    _, packK = _resolve_pair_layout(cfg, species.shape[1])
     sys = make_system(const, species, coordinates, charges,
-                      cfg.pair_outer_cutoff)
+                      cfg.pair_outer_cutoff, heavy_count=packK)
     p = _atom_parameters(tables, cfg.method, sys, learned, coordinates)
     Kbeta = p.pop("Kbeta", None)
     g_ss_nuc = p.pop("g_ss_nuc", None)

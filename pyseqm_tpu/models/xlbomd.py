@@ -52,8 +52,10 @@ def energy_xl(
 
 def _energy_xl_impl(const, tables, cfg, species, coordinates, P, learned,
                     charges):
+    from .energy import _resolve_pair_layout
+    _, packK = _resolve_pair_layout(cfg, species.shape[1])
     sys = make_system(const, species, coordinates, charges,
-                      cfg.pair_outer_cutoff)
+                      cfg.pair_outer_cutoff, heavy_count=packK)
     p = _atom_parameters(tables, cfg.method, sys, learned, coordinates)
     Kbeta = p.pop("Kbeta", None)
     p.pop("g_ss_nuc", None)

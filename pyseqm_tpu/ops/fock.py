@@ -14,8 +14,8 @@ import jax.numpy as jnp
 
 from ..system import System
 from .matrix import grid_to_mat, mat_to_grid
-from .tetci import (WPack, WPackGrid, _w_apply, w_coulomb_i, w_coulomb_j,
-                    w_exchange)
+from .tetci import (WPack, WPackGrid, WPackSplit, _w_apply, w_coulomb_i,
+                    w_coulomb_j, w_exchange)
 
 
 def fock(sys: System, P: jnp.ndarray, M: jnp.ndarray, w: WPack,
@@ -72,6 +72,50 @@ def fock(sys: System, P: jnp.ndarray, M: jnp.ndarray, w: WPack,
         dsum = jnp.sum(coul, axis=2)
         x = -0.5 * _w_apply(pack, Pg, (1, 3, 2, 4))    # zero on diagonal cells
         F = M + x
+        F = F.at[:, idx, idx].add(tmp + dsum)
+        return grid_to_mat(F)
+
+    if isinstance(w, WPackSplit):
+        # class-segmented pairs (static pair packing, see tetci.WPackSplit
+        # and system.pair_index_packed): XX pairs pay the fused 22-integral
+        # w-apply, XH pairs a single 4x4 elementwise block product, HH
+        # pairs a scalar — ~7x less contraction work on organic batches.
+        n_xx = w.xx.ri.shape[1]
+        n_xh = w.xh.shape[1]
+        s_xx = slice(0, n_xx)
+        s_xh = slice(n_xx, n_xx + n_xh)
+        s_hh = slice(n_xx + n_xh, None)
+        dsum = jnp.zeros_like(Pd)
+        F = M + 0.0
+
+        # XX: full Coulomb/exchange contractions on the heavy-heavy slice
+        iu_s, ju_s = iu[s_xx], ju[s_xx]
+        dsum = dsum.at[:, iu_s].add(w_coulomb_i(w.xx, Pd[:, ju_s]))
+        dsum = dsum.at[:, ju_s].add(w_coulomb_j(w.xx, Pd[:, iu_s]))
+        x = -0.5 * w_exchange(w.xx, Pg[:, iu_s, ju_s])
+        F = F.at[:, iu_s, ju_s].add(x)
+        F = F.at[:, ju_s, iu_s].add(jnp.swapaxes(x, -1, -2))
+
+        # XH: w[ab,cd] is wblk[ab] delta_c0 delta_d0
+        iu_s, ju_s = iu[s_xh], ju[s_xh]
+        pss_j = Pd[:, ju_s, 0, 0]
+        dsum = dsum.at[:, iu_s].add(w.xh * pss_j[..., None, None])
+        dsum = dsum.at[:, ju_s, 0, 0].add(
+            jnp.sum(w.xh * Pd[:, iu_s], axis=(-1, -2)))
+        Pcol = jnp.swapaxes(Pg[:, iu_s, ju_s, :, 0:1], -1, -2)  # (.., 1, 4)
+        xcol = -0.5 * jnp.sum(w.xh * Pcol, axis=-1)
+        # 0:1 slices keep advanced indices adjacent (no front-placement)
+        F = F.at[:, iu_s, ju_s, :, 0:1].add(xcol[..., None])
+        F = F.at[:, ju_s, iu_s, 0:1, :].add(xcol[..., None, :])
+
+        # HH: scalar (ss|ss)
+        iu_s, ju_s = iu[s_hh], ju[s_hh]
+        dsum = dsum.at[:, iu_s, 0, 0].add(w.hh * Pd[:, ju_s, 0, 0])
+        dsum = dsum.at[:, ju_s, 0, 0].add(w.hh * Pd[:, iu_s, 0, 0])
+        xss = -0.5 * w.hh * Pg[:, iu_s, ju_s, 0, 0]
+        F = F.at[:, iu_s, ju_s, 0, 0].add(xss)
+        F = F.at[:, ju_s, iu_s, 0, 0].add(xss)
+
         F = F.at[:, idx, idx].add(tmp + dsum)
         return grid_to_mat(F)
 

@@ -12,11 +12,12 @@ from typing import Dict, Optional, Tuple
 import jax.numpy as jnp
 
 from ..constants import Constants, LENGTH_CONVERSION_FACTOR, OVERLAP_CUTOFF
-from ..system import System
+from ..system import System, pair_segment_sizes
 from .multipole import dd_qq, rho1_additive, rho2_additive
-from .overlap import diatom_overlap
-from .tetci import (WPack, WPackGrid, _core_block_unrolled, _u_rows,
-                    frame_matrix, local_frame_integrals, pair_w_pack)
+from .overlap import diatom_overlap, diatom_overlap_hh, diatom_overlap_xh
+from .tetci import (WPack, WPackGrid, WPackSplit, _core_block_unrolled,
+                    _u_rows, frame_matrix, local_frame_integrals,
+                    local_frame_integrals_hh, pair_w_pack, pair_w_xh)
 
 
 def atom_multipoles(const: Constants, species, p: Dict[str, jnp.ndarray]):
@@ -139,6 +140,147 @@ def hcore(
         from .tetci import to_grid
         return M, to_grid(w, A, iu, ju)
     return M, w
+
+
+def hcore_split(
+    const: Constants,
+    sys: System,
+    p: Dict[str, jnp.ndarray],
+    K: int,
+    Kbeta: Optional[jnp.ndarray] = None,
+    precise_overlap: bool = True,
+) -> Tuple[jnp.ndarray, WPackSplit]:
+    """Class-segmented hcore: per-pair-class integral formulas on static
+    slices.
+
+    Requires the System built with make_system(heavy_count=K) so the pair
+    list follows pair_index_packed(A, K): segment XX (i<j<K) runs the full
+    22-integral pipeline, XH (i<K<=j: j guaranteed s-only by the
+    descending-Z sort) the 4-integral one, HH (K<=i) the single-integral
+    one — cutting the per-pair transcendental work ~7x on hydrogen-rich
+    batches.  Matches hcore() exactly on every physical matrix element
+    (fake hydrogen p-orbital positions, which the density masks out,
+    hold zeros here instead of the unified formula's s-like values —
+    the same layout the reference's X-H/H-H classes produce).
+    """
+    nmol, A = sys.species.shape
+    dtype = sys.coordinates.dtype
+    n_xx, n_xh, n_hh = pair_segment_sizes(A, K)
+    if sys.npairs != n_xx + n_xh + n_hh:
+        raise ValueError("System pair list does not match heavy_count "
+                         f"{K} (build with make_system(heavy_count={K}))")
+    s_xx = slice(0, n_xx)
+    s_xh = slice(n_xx, n_xx + n_xh)
+    s_hh = slice(n_xx + n_xh, None)
+    iu, ju = sys.pair_i, sys.pair_j
+
+    mp = atom_multipoles(const, sys.species, p)
+    tore = const.tore[sys.species].astype(dtype)
+    zeta = jnp.stack([p["zeta_s"], p["zeta_p"]], axis=-1)   # (nmol, A, 2)
+    qn = const.qn_int[sys.species]
+    bi_full = jnp.stack([p["beta_s"], p["beta_p"], p["beta_p"],
+                         p["beta_p"]], axis=-1)             # (nmol, A, 4)
+
+    ai = lambda v, s: v[:, iu[s]]                           # noqa: E731
+    aj = lambda v, s: v[:, ju[s]]                           # noqa: E731
+
+    dblk = jnp.zeros((nmol, A, 4, 4), dtype=dtype)
+    dblk = dblk.at[..., 0, 0].set(jnp.where(sys.atom_mask, p["U_ss"], 0.0))
+    upp = jnp.where(sys.atom_mask, p["U_pp"], 0.0)
+    for k in (1, 2, 3):
+        dblk = dblk.at[..., k, k].set(upp)
+
+    M = jnp.zeros((nmol, A, A, 4, 4), dtype=dtype)
+    ov_mask = sys.pair_mask & (sys.rij <= OVERLAP_CUTOFF)
+    rij_ov = jnp.where(ov_mask, sys.rij, jnp.asarray(1.0, dtype))
+
+    # ---- XX segment: full 22-integral pipeline ----
+    pm = sys.pair_mask[:, s_xx]
+    di = diatom_overlap(qn[:, iu[s_xx]], qn[:, ju[s_xx]],
+                        sys.xij[:, s_xx], rij_ov[:, s_xx],
+                        ai(zeta, s_xx), aj(zeta, s_xx),
+                        precise=precise_overlap)
+    di = jnp.where(ov_mask[:, s_xx][..., None, None], di, 0.0)
+    beta_pair = 0.5 * (ai(bi_full, s_xx)[..., :, None]
+                       + aj(bi_full, s_xx)[..., None, :])
+    off = di * beta_pair
+    if Kbeta is not None:
+        kb = Kbeta[:, s_xx]
+        scale = jnp.zeros(off.shape, dtype=dtype)
+        scale = scale.at[..., 0, 0].set(kb[..., 0])
+        scale = scale.at[..., 0, 1:].set(kb[..., 1, None])
+        scale = scale.at[..., 1:, 0].set(kb[..., 2, None])
+        scale = scale.at[..., 1:, 1:].set(kb[..., 3, None, None])
+        off = off * scale
+    wxx, e1b, e2a = pair_w_pack(
+        sys.rij[:, s_xx], sys.xij[:, s_xx],
+        ai(tore, s_xx), aj(tore, s_xx),
+        ai(mp["dd"], s_xx), aj(mp["dd"], s_xx),
+        ai(mp["qq"], s_xx), aj(mp["qq"], s_xx),
+        ai(mp["rho0"], s_xx), aj(mp["rho0"], s_xx),
+        ai(mp["rho1"], s_xx), aj(mp["rho1"], s_xx),
+        ai(mp["rho2"], s_xx), aj(mp["rho2"], s_xx))
+    wxx = WPack(ri=jnp.where(pm[..., None], wxx.ri, 0.0), U=wxx.U)
+    dblk = dblk.at[:, iu[s_xx]].add(jnp.where(pm[..., None, None], e1b, 0.0))
+    dblk = dblk.at[:, ju[s_xx]].add(jnp.where(pm[..., None, None], e2a, 0.0))
+    M = M.at[:, iu[s_xx], ju[s_xx]].set(off)
+    M = M.at[:, ju[s_xx], iu[s_xx]].set(jnp.swapaxes(off, -1, -2))
+
+    # ---- XH segment: 4-integral pipeline, s-only ket ----
+    pm = sys.pair_mask[:, s_xh]
+    col = diatom_overlap_xh(qn[:, iu[s_xh]], qn[:, ju[s_xh]],
+                            sys.xij[:, s_xh], rij_ov[:, s_xh],
+                            ai(zeta, s_xh), p["zeta_s"][:, ju[s_xh]],
+                            precise=precise_overlap)
+    col = jnp.where(ov_mask[:, s_xh][..., None], col, 0.0)
+    beta_col = 0.5 * (ai(bi_full, s_xh)
+                      + p["beta_s"][:, ju[s_xh]][..., None])
+    off_col = col * beta_col
+    if Kbeta is not None:
+        kb = Kbeta[:, s_xh]
+        scale = jnp.concatenate(
+            [kb[..., 0:1], jnp.repeat(kb[..., 2:3], 3, axis=-1)], axis=-1)
+        off_col = off_col * scale
+    wxh, e1b, e2a_ss = pair_w_xh(
+        sys.rij[:, s_xh], sys.xij[:, s_xh],
+        ai(tore, s_xh), aj(tore, s_xh),
+        ai(mp["dd"], s_xh), ai(mp["qq"], s_xh),
+        ai(mp["rho0"], s_xh), aj(mp["rho0"], s_xh),
+        ai(mp["rho1"], s_xh), ai(mp["rho2"], s_xh))
+    wxh = jnp.where(pm[..., None, None], wxh, 0.0)
+    dblk = dblk.at[:, iu[s_xh]].add(jnp.where(pm[..., None, None], e1b, 0.0))
+    dblk = dblk.at[:, ju[s_xh], 0, 0].add(jnp.where(pm, e2a_ss, 0.0))
+    # (0:1 slices keep the advanced indices adjacent — a bare integer
+    # would trigger front-placement of the pair axis)
+    M = M.at[:, iu[s_xh], ju[s_xh], :, 0:1].set(off_col[..., None])
+    M = M.at[:, ju[s_xh], iu[s_xh], 0:1, :].set(off_col[..., None, :])
+
+    # ---- HH segment: single-integral pipeline ----
+    pm = sys.pair_mask[:, s_hh]
+    s111 = diatom_overlap_hh(qn[:, iu[s_hh]], qn[:, ju[s_hh]],
+                             rij_ov[:, s_hh],
+                             p["zeta_s"][:, iu[s_hh]],
+                             p["zeta_s"][:, ju[s_hh]],
+                             precise=precise_overlap)
+    s111 = jnp.where(ov_mask[:, s_hh], s111, 0.0)
+    off_ss = s111 * 0.5 * (p["beta_s"][:, iu[s_hh]]
+                           + p["beta_s"][:, ju[s_hh]])
+    if Kbeta is not None:
+        off_ss = off_ss * Kbeta[:, s_hh, 0]
+    whh = local_frame_integrals_hh(sys.rij[:, s_hh],
+                                   ai(mp["rho0"], s_hh),
+                                   aj(mp["rho0"], s_hh))
+    whh = jnp.where(pm, whh, 0.0)
+    dblk = dblk.at[:, iu[s_hh], 0, 0].add(
+        jnp.where(pm, -aj(tore, s_hh) * whh, 0.0))
+    dblk = dblk.at[:, ju[s_hh], 0, 0].add(
+        jnp.where(pm, -ai(tore, s_hh) * whh, 0.0))
+    M = M.at[:, iu[s_hh], ju[s_hh], 0, 0].set(off_ss)
+    M = M.at[:, ju[s_hh], iu[s_hh], 0, 0].set(off_ss)
+
+    idx = jnp.arange(A)
+    M = M.at[:, idx, idx].set(dblk)
+    return M, WPackSplit(xx=wxx, xh=wxh, hh=whh)
 
 
 def dense_pair_geometry(sys: System, pair_outer_cutoff: float):

@@ -29,6 +29,8 @@ elements, diat_overlap.py:65-72).
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -215,11 +217,17 @@ def _ab_tf(rij, z1, z2):
 
 
 def _s_combinations(rij, zsi, zpi, zsj, zpj, jcall2, jcall3, jcall4,
-                    precise):
+                    precise, mode=4):
     """The five independent sigma/pi overlap combinations (pre-rotation).
 
     Returns (S111, S211, S121, S221, S222) for ss, ps-s, s-ps, pp-sigma,
     pp-pi (cf. diat_overlap.py:253-365, the SET/A-B combination tables).
+
+    ``mode`` (STATIC) is the highest jcall class present in the batch
+    slice: 4 = general, 3 = the heavier atom may carry p orbitals but the
+    lighter is s-only (X-H pair segment: 2 A/B stacks instead of 4, no
+    jcall4 combinations), 2 = both s-only (H-H segment: 1 stack, the ss
+    combination alone).  Skipped combinations return zeros.
     """
     dtype = rij.dtype
     if precise:
@@ -232,21 +240,33 @@ def _s_combinations(rij, zsi, zpi, zsj, zpj, jcall2, jcall3, jcall4,
     r2 = rij * rij
     r4 = r2 * r2
     r5 = r4 * rij
+    zero = jnp.zeros_like(rij).astype(dtype)
 
     # --- s(i)-s(j) ---
     A, B = ab(zsi, zsj)
     s111_2 = (_p15(zsi * zsj * r2) / 4.0) * val(A[2] * B[0] - B[2] * A[0])
+    if mode == 2:
+        return (jnp.where(jcall2, s111_2, 0.0).astype(dtype),
+                zero, zero, zero, zero)
     s111_3 = (_p15(zsj) * _p25(zsi) * r4 / (SQRT3 * 8.0)
               * val(A[3] * B[0] - B[3] * A[0] + A[2] * B[1] - B[2] * A[1]))
-    s111_4 = (_p25(zsj * zsi) * r5 / 48.0
-              * val(A[4] * B[0] + B[4] * A[0] - 2.0 * (A[2] * B[2])))
-    S111 = jnp.where(jcall2, s111_2, jnp.where(jcall3, s111_3,
-                     jnp.where(jcall4, s111_4, 0.0))).astype(dtype)
+    if mode >= 4:
+        s111_4 = (_p25(zsj * zsi) * r5 / 48.0
+                  * val(A[4] * B[0] + B[4] * A[0] - 2.0 * (A[2] * B[2])))
+        S111 = jnp.where(jcall2, s111_2, jnp.where(jcall3, s111_3,
+                         jnp.where(jcall4, s111_4, 0.0))).astype(dtype)
+    else:
+        S111 = jnp.where(jcall2, s111_2,
+                         jnp.where(jcall3, s111_3, 0.0)).astype(dtype)
 
     # --- p_sigma(i)-s(j) ---
     A, B = ab(zpi, zsj)
     s211_3 = (_p15(zsj) * _p25(zpi) * r4 / 8.0
               * val(A[2] * B[0] - B[2] * A[0] + A[3] * B[1] - B[3] * A[1]))
+    if mode == 3:
+        return (S111,
+                jnp.where(jcall3, s211_3, 0.0).astype(dtype),
+                zero, zero, zero)
     s211_4 = (_p25(zsj * zpi) * r5 / (16.0 * SQRT3)
               * val(A[3] * (B[0] - B[2]) - A[1] * (B[2] - B[4])
                     + B[3] * (A[0] - A[2]) - B[1] * (A[2] - A[4])))
@@ -270,32 +290,96 @@ def _s_combinations(rij, zsi, zpi, zsj, zpj, jcall2, jcall3, jcall4,
     return S111, S211, S121, S221, S222
 
 
-@jax.custom_jvp
-def _s_combinations_tf(rij, zsi, zpi, zsj, zpj, jcall2, jcall3, jcall4):
-    return _s_combinations(rij, zsi, zpi, zsj, zpj,
-                           jcall2, jcall3, jcall4, True)
+@functools.lru_cache(maxsize=None)
+def _make_s_combinations_tf(mode):
+    """custom_jvp wrapper of the double-float chain for one static mode.
 
-
-@_s_combinations_tf.defjvp
-def _s_combinations_tf_jvp(primals, tangents):
-    """Double-float primal, plain-f32 tangent.
-
-    Only the *value* of S needs the extended precision (it feeds the
-    alternating-sign Hf cancellation); its derivative feeds forces, whose
-    f32 noise floor (~2e-4 eV/A) is orders above the ~1e-7 relative gap
-    between the plain and double-float derivative.  Without this rule AD
-    walks every two_sum/two_prod/exp_tf in the chain — measured as the
-    dominant hcore-backward cost.  custom_jvp (not vjp) keeps
-    forward-over-reverse Hessians working; the rule itself is plain ops,
-    so it is differentiable again for second order.
+    Double-float primal, plain-f32 tangent.  Only the *value* of S needs
+    the extended precision (it feeds the alternating-sign Hf
+    cancellation); its derivative feeds forces, whose f32 noise floor
+    (~2e-4 eV/A) is orders above the ~1e-7 relative gap between the plain
+    and double-float derivative.  Without this rule AD walks every
+    two_sum/two_prod/exp_tf in the chain — measured as the dominant
+    hcore-backward cost.  custom_jvp (not vjp) keeps forward-over-reverse
+    Hessians working; the rule itself is plain ops, so it is
+    differentiable again for second order.
     """
-    rij, zsi, zpi, zsj, zpj, j2, j3, j4 = primals
-    out = _s_combinations_tf(*primals)
-    _, dout = jax.jvp(
-        lambda r, a, b, c, d: _s_combinations(r, a, b, c, d, j2, j3, j4,
-                                              False),
-        (rij, zsi, zpi, zsj, zpj), tangents[:5])
-    return out, dout
+
+    @jax.custom_jvp
+    def s_tf(rij, zsi, zpi, zsj, zpj, jcall2, jcall3, jcall4):
+        return _s_combinations(rij, zsi, zpi, zsj, zpj,
+                               jcall2, jcall3, jcall4, True, mode)
+
+    @s_tf.defjvp
+    def s_tf_jvp(primals, tangents):
+        rij, zsi, zpi, zsj, zpj, j2, j3, j4 = primals
+        out = s_tf(*primals)
+        _, dout = jax.jvp(
+            lambda r, a, b, c, d: _s_combinations(r, a, b, c, d, j2, j3, j4,
+                                                  False, mode),
+            (rij, zsi, zpi, zsj, zpj), tangents[:5])
+        return out, dout
+
+    return s_tf
+
+
+def _s_combinations_tf(rij, zsi, zpi, zsj, zpj, jcall2, jcall3, jcall4,
+                       mode=4):
+    return _make_s_combinations_tf(mode)(rij, zsi, zpi, zsj, zpj,
+                                         jcall2, jcall3, jcall4)
+
+
+def _reg_v(xij):
+    """Bond direction with the reference's near-axis regularization
+    (diat_overlap.py:24-45): below xy < 1e-10 snap to +-z."""
+    xy = jnp.sqrt(xij[..., 0] ** 2 + xij[..., 1] ** 2)
+    zsign = jnp.sign(xij[..., 2])
+    zero = jnp.zeros_like(zsign)
+    return jnp.where((xy >= 1.0e-10)[..., None], xij,
+                     jnp.stack([zero, zero, zsign], axis=-1))
+
+
+def diatom_overlap_xh(qni, qnj, xij, rij, zeta_i, zsj, precise=False):
+    """Overlap column (AOs on i | s AO on j) for the X-H pair segment.
+
+    The lighter atom is guaranteed s-only (qnj <= 1), so only the first
+    column of the 4x4 block is nonzero: S[0] = S_ss, S[1+p] = S_sigma_s
+    v_p.  Two A/B stacks and two combinations instead of four/five
+    (cf. the reference's jcall==3 branch, diat_overlap.py:253-298).
+
+    Returns (..., 4).
+    """
+    dtype = rij.dtype
+    jcall2 = (qni == 1) & (qnj == 1)
+    jcall3 = (qni == 2) & (qnj == 1)
+    zsi, zpi = zeta_i[..., 0], zeta_i[..., 1]
+    f = jnp.zeros_like(rij)
+    if precise and dtype == jnp.float32:
+        S111, S211, _, _, _ = _s_combinations_tf(
+            rij, zsi, zpi, zsj, f + 1.0, jcall2, jcall3, jcall3 & False,
+            mode=3)
+    else:
+        S111, S211, _, _, _ = _s_combinations(
+            rij, zsi, zpi, zsj, f + 1.0, jcall2, jcall3, jcall3 & False,
+            False, mode=3)
+    v = _reg_v(xij)
+    return jnp.concatenate([S111[..., None], S211[..., None] * v], axis=-1)
+
+
+def diatom_overlap_hh(qni, qnj, rij, zsi, zsj, precise=False):
+    """Scalar s-s overlap for the H-H pair segment (jcall==2 branch)."""
+    dtype = rij.dtype
+    jcall2 = (qni == 1) & (qnj == 1)
+    f = jnp.zeros_like(rij)
+    if precise and dtype == jnp.float32:
+        S111, _, _, _, _ = _s_combinations_tf(
+            rij, zsi, f + 1.0, zsj, f + 1.0, jcall2, jcall2 & False,
+            jcall2 & False, mode=2)
+    else:
+        S111, _, _, _, _ = _s_combinations(
+            rij, zsi, f + 1.0, zsj, f + 1.0, jcall2, jcall2 & False,
+            jcall2 & False, False, mode=2)
+    return S111
 
 
 def diatom_overlap(qni, qnj, xij, rij, zeta_i, zeta_j, precise=False):

@@ -166,6 +166,35 @@ def local_frame_integrals(r, tore_i, tore_j, da, db, qa0, qb0,
     return ri, core_a, core_b
 
 
+def local_frame_integrals_xh(r, da, qa0, rho0a, rho0b, rho1a, rho2a):
+    """X-H pair class: the 4 unique local integrals (ss|ss), (so|ss),
+    (oo|ss), (pp|ss) — the lighter atom carries only an s distribution
+    (db = qb = rho1b = rho2b = 0 makes every b-side multipole term vanish
+    analytically; cf. the reference's 4-integral X-H branch,
+    two_elec_two_center_int_local_frame.py:64-66).
+
+    Returns ri4 (..., 4) in eV, in the (ss, so, oo, pp) order of the
+    local (mu nu | ss) matrix.
+    """
+    ev1, ev2 = EV / 2.0, EV / 4.0
+    qa = 2.0 * qa0
+    aee = (rho0a + rho0b) ** 2
+    ade = (rho1a + rho0b) ** 2
+    aqe = (rho2a + rho0b) ** 2
+    rsq = lambda t, add: jnp.sqrt(t ** 2 + add)           # noqa: E731
+    ee = EV / rsq(r, aee)
+    dze = -ev1 / rsq(r + da, ade) + ev1 / rsq(r - da, ade)
+    e_qe = ev1 / rsq(r, aqe)
+    qzze = ev2 / rsq(r - qa, aqe) + ev2 / rsq(r + qa, aqe) - e_qe
+    qxxe = ev1 / jnp.sqrt(r ** 2 + qa ** 2 + aqe) - e_qe
+    return jnp.stack([ee, -dze, ee + qzze, ee + qxxe], axis=-1)
+
+
+def local_frame_integrals_hh(r, rho0a, rho0b):
+    """H-H pair class: the single (ss|ss) integral (eV)."""
+    return EV / jnp.sqrt(r ** 2 + (rho0a + rho0b) ** 2)
+
+
 # ------------------------------------------------------------------
 # Sparse local tensor and frame rotation
 # ------------------------------------------------------------------
@@ -492,6 +521,62 @@ def pair_w_pack(rij, xij, tore_i, tore_j, da, db, qa, qb,
     e1b = _core_block_unrolled(u, core_a)
     e2a = _core_block_unrolled(u, core_b)
     return WPack(ri=ri, U=U), e1b, e2a
+
+
+class WPackSplit(NamedTuple):
+    """Class-segmented two-electron integrals (static pair packing).
+
+    Built over the pair_index_packed enumeration (system.py): with the
+    batch-max heavy count K, segment boundaries are static, so each class
+    stores exactly the integrals it physically has — the reference's
+    1/4/22-integral H-H/X-H/X-X split (two_elec_two_center_int_local_
+    frame.py:5-15) realized as static array slices instead of boolean
+    subsetting.  Segment sizes are recoverable from the array shapes.
+    """
+    xx: WPack          # full pairs (i < j < K): ri (..., 22) + frame U
+    xh: jnp.ndarray    # (..., 4, 4) rotated (mu nu | ss) blocks, i < K <= j
+    hh: jnp.ndarray    # (...,) (ss|ss) integrals, K <= i < j
+
+    def gam(self) -> jnp.ndarray:
+        """(ss|ss) per pair, segment-concatenated (nuclear-term gamma).
+
+        Rotation leaves the [0, 0] element invariant, so xh[..., 0, 0]
+        is the local (ss|ss)."""
+        return jnp.concatenate(
+            [self.xx.ri[..., 0], self.xh[..., 0, 0], self.hh], axis=-1)
+
+
+def rotate_xh_block(u, ri4):
+    """(mu nu | ss) molecular-frame 4x4 block from the 4 local integrals.
+
+    The local matrix has the _core_matrix sparsity: [0,0]=(ss|ss),
+    [0,1]=[1,0]=(so|ss), [1,1]=(oo|ss), [2,2]=[3,3]=(pp|ss)."""
+    zero = jnp.zeros_like(ri4[..., 0])
+    C = [[zero] * 4 for _ in range(4)]
+    C[0][0] = ri4[..., 0]
+    C[0][1] = ri4[..., 1]
+    C[1][0] = ri4[..., 1]
+    C[1][1] = ri4[..., 2]
+    C[2][2] = ri4[..., 3]
+    C[3][3] = ri4[..., 3]
+    return _stack44(_rot_from_local(u, C))
+
+
+def pair_w_xh(rij, xij, tore_i, tore_j, da, qa, rho0a, rho0b, rho1a, rho2a):
+    """X-H pair segment pipeline: (wblk, e1b, e2a_ss).
+
+    wblk (..., 4, 4) is the rotated (mu nu | ss) block — the only
+    two-electron data an X-H pair has; e1b = -tore_j * wblk (electron on
+    i, core of j); e2a_ss = -tore_i * (ss|ss) (the s-only lighter atom's
+    single electron-core term; the reference's X-H class carries exactly
+    4 + 1 core columns).
+    """
+    ri4 = local_frame_integrals_xh(rij, da, qa, rho0a, rho0b, rho1a, rho2a)
+    U = frame_matrix(xij)
+    wblk = rotate_xh_block(_u_rows(U), ri4)
+    e1b = -tore_j[..., None, None] * wblk
+    e2a_ss = -tore_i * ri4[..., 0]
+    return wblk, e1b, e2a_ss
 
 
 def two_center_integrals(rij, xij, tore_i, tore_j, da, db, qa, qb,

@@ -35,6 +35,49 @@ def pair_index(A: int) -> Tuple[np.ndarray, np.ndarray]:
     return iu.astype(np.int32), ju.astype(np.int32)
 
 
+@functools.lru_cache(maxsize=None)
+def pair_index_packed(A: int, K: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Class-segmented upper-triangle pair indices for heavy count K.
+
+    With atoms sorted by descending Z and K = the *batch-wide max* heavy
+    count, every atom slot >= K holds a hydrogen or padding in every
+    molecule.  Enumerating the triangle as three contiguous segments
+
+        XX:  i < j < K          (both possibly heavy; full integral class)
+        XH:  i < K <= j         (j guaranteed s-only)
+        HH:  K <= i < j         (both guaranteed s-only)
+
+    gives *static* segment boundaries (K*(K-1)/2, K*(A-K), rest), letting
+    the integral/Fock pipeline run the cheap 4- and 1-integral formulas of
+    the reference's X-H / H-H pair classes (two_elec_two_center_int_local_
+    frame.py:64-66) on statically-sliced segments — no gathers, no masks.
+    Molecules with fewer than K heavies are still correct: the XX/XH
+    formulas degrade analytically to the lighter classes when the heavier
+    atom's multipole separations are zero (see ops/tetci.py docstring).
+    """
+    K = max(0, min(K, A))
+    seg_i, seg_j = [], []
+    for i in range(K):
+        for j in range(i + 1, K):
+            seg_i.append(i); seg_j.append(j)
+    for i in range(K):
+        for j in range(K, A):
+            seg_i.append(i); seg_j.append(j)
+    for i in range(K, A):
+        for j in range(i + 1, A):
+            seg_i.append(i); seg_j.append(j)
+    return (np.asarray(seg_i, np.int32), np.asarray(seg_j, np.int32))
+
+
+def pair_segment_sizes(A: int, K: int) -> Tuple[int, int, int]:
+    """Static (n_xx, n_xh, n_hh) segment lengths of pair_index_packed."""
+    K = max(0, min(K, A))
+    n_xx = K * (K - 1) // 2
+    n_xh = K * (A - K)
+    n_hh = (A - K) * (A - K - 1) // 2
+    return n_xx, n_xh, n_hh
+
+
 @tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class System:
@@ -127,11 +170,18 @@ def make_system(
     coordinates: jnp.ndarray,
     charges: Optional[jnp.ndarray] = None,
     pair_outer_cutoff: float = 1.0e10,
+    heavy_count: Optional[int] = None,
 ) -> System:
     """Build a :class:`System` (jit-safe; differentiable wrt coordinates).
 
     ``pair_outer_cutoff`` is in the units of ``coordinates`` (Angstrom),
     matching the reference's 'pair_outer_cutoff' setting (basics.py:96-98).
+
+    ``heavy_count`` (STATIC, = pyseqm_tpu.packed_heavy_count(species))
+    orders the pair list class-segmented (see :func:`pair_index_packed`)
+    so the integral pipeline can run per-class formulas on static slices.
+    Pair-indexed arrays (zi, rij, Kbeta hooks, EnucAB outputs...) follow
+    that ordering; all consumers index through ``pair_i``/``pair_j``.
     """
     species = jnp.asarray(species, dtype=jnp.int32)
     nmol, A = species.shape
@@ -147,7 +197,10 @@ def make_system(
     n_charge = jnp.sum(const.tore[species], axis=1).astype(jnp.int32) - charges
     nocc = n_charge // 2
 
-    iu, ju = pair_index(A)
+    if heavy_count is None:
+        iu, ju = pair_index(A)
+    else:
+        iu, ju = pair_index_packed(A, int(heavy_count))
     iu = jnp.asarray(iu)
     ju = jnp.asarray(ju)
     zi = species[:, iu]

@@ -100,12 +100,16 @@ def main():
 
     def hcore_fwd(c, P):
         from pyseqm_tpu.models.energy import (_atom_parameters,
-                                              _integral_stack)
-        sys_ = make_system(const, species, c, None, cfg.pair_outer_cutoff)
+                                              _integral_stack,
+                                              _resolve_pair_layout)
+        _, packK = _resolve_pair_layout(cfg, species.shape[1])
+        sys_ = make_system(const, species, c, None, cfg.pair_outer_cutoff,
+                           heavy_count=packK)
         p = _atom_parameters(tables, cfg.method, sys_, None, c)
         p.pop("Kbeta", None), p.pop("g_ss_nuc", None)
         M, w, w_f = _integral_stack(const, sys_, p, None, cfg)
-        dc = (jnp.sum(M) + jnp.sum(w.ri)) * jnp.ones_like(c)
+        wsum = jnp.sum(w.gam()) if hasattr(w, "gam") else jnp.sum(w.ri)
+        dc = (jnp.sum(M) + wsum) * jnp.ones_like(c)
         return dc * 1.0e-12, P
 
     timed("force_xl full step", chain(full), coords, P0)
