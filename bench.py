@@ -326,6 +326,12 @@ def bench_nanostar(n_carbons=294, repeats=3):
                       pack_heavy=pq.packed_heavy_count(z[None])))
     out = jax.block_until_ready(jax.jit(
         lambda c: pq.energy(const, tables, cfg, species, c))(coords))
+    # keep ONLY the density alive: the full EnergyOutput pins ~300 MB of
+    # grids (F, Hcore, the integral blocks) in HBM for the whole timed
+    # loop, and the allocator pressure costs a measured ~20% per force
+    # step at this size
+    P0 = out.P
+    del out
 
     # chain force evaluations through the coordinates so the backend
     # cannot replay a cached identical execution (and the ~26 ms/call
@@ -339,11 +345,11 @@ def bench_nanostar(n_carbons=294, repeats=3):
             return c + 1.0e-7 * frc, None
         return jax.lax.scan(step, c, None, length=R)[0]
 
-    c = jax.block_until_ready(many(coords, out.P))
+    c = jax.block_until_ready(many(coords, P0))
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
-        c = jax.block_until_ready(many(c, out.P))
+        c = jax.block_until_ready(many(c, P0))
         times.append(time.perf_counter() - t0)
     return R / min(times)
 

@@ -139,9 +139,7 @@ def _resolve_pair_layout(cfg: SEQMConfig, A: int):
         dense = A >= 64
     pp = cfg.pack_pairs
     if pp is None:
-        pp = (not dense) and (cfg.scf.pack_heavy is not None)
-    if pp and dense:
-        pp = False
+        pp = cfg.scf.pack_heavy is not None
     if pp and cfg.scf.pack_heavy is None:
         raise ValueError("pack_pairs=True requires scf.pack_heavy "
                          "(= pyseqm_tpu.packed_heavy_count(species))")
@@ -171,7 +169,14 @@ def _integral_stack(const, sys, p, Kbeta, cfg):
     """
     A = sys.species.shape[1]
     dense, packK = _resolve_pair_layout(cfg, A)
-    if dense:
+    if dense and packK is not None:
+        from ..ops.hcore import hcore_dense_split
+
+        def build(const, sys, p, Kbeta):
+            return hcore_dense_split(const, sys, p, packK,
+                                     cfg.pair_outer_cutoff, Kbeta,
+                                     cfg.precise_overlap)
+    elif dense:
         from ..ops.hcore import hcore_dense
 
         def build(const, sys, p, Kbeta):
@@ -191,7 +196,7 @@ def _integral_stack(const, sys, p, Kbeta, cfg):
         remat = A >= 32
     hcore_fn = jax.checkpoint(build) if remat else build
     M, w = hcore_fn(const, sys, p, Kbeta)
-    if dense and cfg.dense_fock is False:
+    if dense and cfg.dense_fock is False and hasattr(w, "rig"):
         from ..ops.tetci import from_grid
         w_f = from_grid(w, sys.pair_i, sys.pair_j)
     else:
@@ -206,6 +211,11 @@ def _nuclear_term(const, sys, w, cfg, p, gam=None):
     flat gam gather's backward is a large TPU scatter at ~A^2/2 pairs —
     it dominated the 884-atom force step).  ``gam`` overrides the
     integral-derived gamma (the ML g_ss_nuc hook)."""
+    if gam is None and hasattr(w, "gam_grid"):
+        from ..ops.energy import pair_nuclear_energy_dense
+        return pair_nuclear_energy_dense(const, sys, w.gam_grid(),
+                                         cfg.method, p,
+                                         cfg.pair_outer_cutoff)
     if gam is None and hasattr(w, "rig"):
         from ..ops.energy import pair_nuclear_energy_dense
         return pair_nuclear_energy_dense(const, sys, w.rig[..., 0],

@@ -14,8 +14,8 @@ import jax.numpy as jnp
 
 from ..system import System
 from .matrix import grid_to_mat, mat_to_grid
-from .tetci import (WPack, WPackGrid, WPackSplit, _w_apply, w_coulomb_i,
-                    w_coulomb_j, w_exchange)
+from .tetci import (WPack, WPackGrid, WPackGridSplit, WPackSplit, _w_apply,
+                    w_coulomb_i, w_coulomb_j, w_exchange)
 
 
 def fock(sys: System, P: jnp.ndarray, M: jnp.ndarray, w: WPack,
@@ -59,6 +59,46 @@ def fock(sys: System, P: jnp.ndarray, M: jnp.ndarray, w: WPack,
         ppx = Pd[..., i, j] * (0.75 * gpp - 1.25 * gp2)
         tmp = tmp.at[..., i, j].set(ppx)
         tmp = tmp.at[..., j, i].set(ppx)
+
+    if isinstance(w, WPackGridSplit):
+        # class-segmented dense grid (large molecules, see hcore_dense_
+        # split): the [0:K,0:K] ordered sub-grid pays the full fused
+        # w-apply, the X-H block a single elementwise 4x4 product (one
+        # array serves both orientations), the H-H block a scalar.
+        K = w.xh.shape[1]
+        sH, sL = slice(0, K), slice(K, None)
+        Pd_h, Pd_l = Pd[:, sH], Pd[:, sL]
+        pss_l = Pd_l[..., 0, 0]                      # (nmol, AH)
+        F = M + 0.0
+
+        # XX ordered sub-grid: both Coulomb halves via the row pairing,
+        # exchange covers both triangles directly
+        pack = WPack(ri=w.xx.rig, U=w.xx.ug)
+        Xj = jnp.broadcast_to(Pd_h[:, None], w.xx.ug.shape[:3] + (4, 4))
+        dsum_h = jnp.sum(_w_apply(pack, Xj, (1, 2, 3, 4)), axis=2)
+        F = F.at[:, sH, sH].add(
+            -0.5 * _w_apply(pack, Pg[:, sH, sH], (1, 3, 2, 4)))
+
+        # XH block: w[ab, cd] = wblk[ab] delta_c0 delta_d0
+        dsum_h = dsum_h + jnp.sum(
+            w.xh * pss_l[:, None, :, None, None], axis=2)
+        dsum_l = jnp.sum(w.xh * Pd_h[:, :, None], axis=(1, -1, -2))
+        Pcol = Pg[:, sH, sL, :, 0]                   # (nmol, K, AH, 4)
+        xcol = -0.5 * jnp.sum(w.xh * Pcol[..., None, :], axis=-1)
+        F = F.at[:, sH, sL, :, 0].add(xcol)
+        F = F.at[:, sL, sH, 0, :].add(jnp.swapaxes(xcol, 1, 2))
+
+        # HH block: scalar (ss|ss); the full ordered square covers both
+        # orientations in one row reduction
+        dsum_l = dsum_l + jnp.sum(w.hh * pss_l[:, None, :], axis=2)
+        F = F.at[:, sL, sL, 0, 0].add(-0.5 * w.hh * Pg[:, sL, sL, 0, 0])
+
+        idh = jnp.arange(K)
+        F = F.at[:, idh, idh].add(tmp[:, sH] + dsum_h)
+        idl = jnp.arange(K, A)
+        F = F.at[:, idl, idl].add(tmp[:, sL])
+        F = F.at[:, idl, idl, 0, 0].add(dsum_l)
+        return grid_to_mat(F)
 
     if isinstance(w, WPackGrid):
         # dense ordered-pair path (large molecules): every contraction is a

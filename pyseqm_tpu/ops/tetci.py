@@ -546,6 +546,35 @@ class WPackSplit(NamedTuple):
             [self.xx.ri[..., 0], self.xh[..., 0, 0], self.hh], axis=-1)
 
 
+class WPackGridSplit(NamedTuple):
+    """Class-segmented grid-resident integrals for large molecules.
+
+    Two-level block layout keyed on the batch-max heavy count K (atoms
+    sorted descending-Z puts every hydrogen/padding slot at index >= K):
+
+      xx: ordered (nmol, K, K) sub-grid, full 22-integral cells (bra on
+          the row atom — WPackGrid's contract restricted to the heavy
+          block);
+      xh: (nmol, K, A-K, 4, 4) rotated (mu nu | ss) blocks — ONE block
+          serves both orientations (the (H, heavy) cell's integrals are
+          the transpose, which for an (.. | ss) ket is the same block);
+      hh: (nmol, A-K, A-K) (ss|ss) scalars (zero diagonal).
+
+    vs the full WPackGrid at 884 atoms (C294H592): ~6x less integral
+    memory and ~5x fewer w-apply FLOPs per Fock build.
+    """
+    xx: "WPackGrid"
+    xh: jnp.ndarray
+    hh: jnp.ndarray
+
+    def gam_grid(self) -> jnp.ndarray:
+        """Full (nmol, A, A) (ss|ss) grid for the dense nuclear term."""
+        gxh = self.xh[..., 0, 0]
+        top = jnp.concatenate([self.xx.rig[..., 0], gxh], axis=2)
+        bot = jnp.concatenate([jnp.swapaxes(gxh, 1, 2), self.hh], axis=2)
+        return jnp.concatenate([top, bot], axis=1)
+
+
 def rotate_xh_block(u, ri4):
     """(mu nu | ss) molecular-frame 4x4 block from the 4 local integrals.
 

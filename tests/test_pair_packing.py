@@ -187,3 +187,46 @@ def test_pack_pairs_f32_accuracy():
     df = np.abs(res["float32"][1] - res["float64"][1]).max()
     assert dhf < 5.0e-4, dhf
     assert df < 5.0e-3, df
+
+
+def test_dense_split_parity():
+    """hcore_dense_split + the WPackGridSplit Fock match the unified
+    dense grid on physical elements, and end-to-end energy/force/XL
+    through cfg(dense_pair_grid=True, pack_pairs=True) match the flat
+    path at f64."""
+    from pyseqm_tpu.ops.hcore import hcore_dense, hcore_dense_split
+
+    const, tables, species, coords, K = _setup(nmol=4)
+    sys0 = make_system(const, species, coords)
+    p = gather_atom_parameters(tables, "AM1", species, None)
+    p.pop("Kbeta", None), p.pop("g_ss_nuc", None)
+
+    M0, wg = jax.jit(lambda s: hcore_dense(const, s, p))(sys0)
+    MP, ws = jax.jit(lambda s: hcore_dense_split(const, s, p, K))(sys0)
+    bm = _orbital_block_mask(species)
+    np.testing.assert_allclose(np.where(bm, np.asarray(MP), 0.0),
+                               np.where(bm, np.asarray(M0), 0.0), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(ws.gam_grid()),
+                               np.asarray(wg.rig[..., 0]), atol=1e-12)
+
+    P0 = init_density(const, sys0)
+    F0 = np.asarray(jax.jit(fock)(sys0, P0, M0, wg, p))
+    FP = np.asarray(jax.jit(fock)(sys0, P0, MP, ws, p))
+    fm = bm.transpose(0, 1, 3, 2, 4).reshape(F0.shape)
+    np.testing.assert_allclose(np.where(fm, FP, 0.0),
+                               np.where(fm, F0, 0.0), atol=1e-12)
+
+    outs = {}
+    for mode in ("flat", "dense_split"):
+        scf = SCFConfig(eps=1.0e-9, converger=(2,), pack_heavy=K)
+        cfg = pq.SEQMConfig(method="AM1", scf=scf,
+                            dense_pair_grid=(mode == "dense_split"),
+                            pack_pairs=(mode == "dense_split"))
+        f, out = jax.jit(
+            lambda c: pq.force(const, tables, cfg, species, c))(coords)
+        fx, hf, _ = jax.jit(lambda c, P: force_xl(
+            const, tables, cfg, species, c, P))(coords, out.P)
+        outs[mode] = (np.asarray(out.Hf), np.asarray(f), np.asarray(hf),
+                      np.asarray(fx))
+    for a, b in zip(outs["dense_split"], outs["flat"]):
+        np.testing.assert_allclose(a, b, atol=1e-8)

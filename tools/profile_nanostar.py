@@ -61,12 +61,19 @@ def main(n_carbons=294):
     z, x = make_alkane(n_carbons)
     species = jnp.asarray(z[None])
     coords0 = jnp.asarray(x[None], jnp.float32)
+    import os
+    # NANOPROF_PACK: 0 = no packing, solver = pack_heavy only (unified
+    # integrals), 1 = pack_heavy + class-segmented integrals (pack_pairs)
+    mode = os.environ.get("NANOPROF_PACK", "1")
+    pack_heavy = pq.packed_heavy_count(z[None]) if mode != "0" else None
     const, tables, cfg = pq.build(
         "AM1", dtype=jnp.float32,
         scf=SCFConfig(eps=1.0e-3, converger=(2,), use_sp2=True,
                       sp2_eps=1.0e-4, sp2_precision="highest",
                       sp2_tight_bounds=True, max_iter=400,
-                      pack_orbitals=pq.packed_orbital_size(z[None])))
+                      pack_orbitals=pq.packed_orbital_size(z[None]),
+                      pack_heavy=pack_heavy),
+        pack_pairs={"1": True, "solver": False, "0": False}[mode])
     out = jax.block_until_ready(jax.jit(
         lambda c: pq.energy(const, tables, cfg, species, c))(coords0))
     P0, F0 = out.P, out.F
