@@ -137,6 +137,17 @@ def atomic_charges(const: Constants, species, P):
     return const.tore[species] - q_el
 
 
+def atomic_charges_packed(const: Constants, species, Pp, K: int):
+    """Mulliken charges from a static-packed density (ops/density.py
+    static_pack_mat layout: atoms [0, K) keep their 4-orbital block, every
+    later atom slot keeps only its s orbital)."""
+    nmol, A = species.shape
+    d = jnp.diagonal(Pp, axis1=1, axis2=2)
+    heavy = d[:, :4 * K].reshape(nmol, K, 4).sum(axis=2)
+    q_el = jnp.concatenate([heavy, d[:, 4 * K:4 * K + (A - K)]], axis=1)
+    return const.tore[species] - q_el
+
+
 def dipole(q, coordinates):
     return jnp.sum(q[..., None] * coordinates, axis=1)
 

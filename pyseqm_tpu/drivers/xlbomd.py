@@ -23,9 +23,11 @@ import jax.numpy as jnp
 from ..constants import Constants
 from ..models.energy import SEQMConfig, energy
 from ..models.xlbomd import force_xl
+from ..ops.density import (static_pack_mat, static_pack_size,
+                           static_unpack_mat)
 from .md import (ACC_SCALE, MDConfig, MDState, MolecularDynamics,
-                 Observables, atom_masses, atomic_charges, dipole,
-                 kinetic_energy)
+                 Observables, atom_masses, atomic_charges,
+                 atomic_charges_packed, dipole, kinetic_energy)
 
 # kappa, alpha, c0..ck per history order k (Niklasson JCP 130, 214109)
 XL_COEFFS = {
@@ -52,10 +54,14 @@ class XLBOMDState:
     acc: jnp.ndarray
     D: jnp.ndarray           # purified density from the last Fock
     P: jnp.ndarray           # dynamic density field
-    Pt: jnp.ndarray          # (m, nmol, 4A, 4A) history ring buffer
+    Pt: jnp.ndarray          # (m, nmol, n, n) history ring buffer
     E0: jnp.ndarray
     key: jnp.ndarray
     step: jnp.ndarray
+    # D/P/Pt are (nmol, 4A, 4A) by default; with SCFConfig.pack_heavy the
+    # driver holds them in the static compact-orbital layout (nmol, n_st,
+    # n_st) — ~4x less HBM traffic on the per-step ring-buffer sum — and
+    # unpacks only at the Fock-build entry (pure reshape/slice relayout).
 
 
 class XLBOMD(MolecularDynamics):
@@ -75,6 +81,24 @@ class XLBOMD(MolecularDynamics):
         coeff[1] -= 1.0
         self.coeff_D = cc * kappa
         self.coeff = jnp.asarray(coeff * 2)  # doubled for circular slicing
+        self._packK = seqm_cfg.scf.pack_heavy
+
+    def _pack_mat(self, X):
+        if self._packK is None:
+            return X
+        A = X.shape[-1] // 4
+        return static_pack_mat(X, self._packK,
+                               static_pack_size(self._packK, A, multiple=16))
+
+    def _unpack_mat(self, X, A):
+        if self._packK is None:
+            return X
+        return static_unpack_mat(X, self._packK, A)
+
+    def _charges(self, species, P):
+        if self._packK is None:
+            return atomic_charges(self.const, species, P)
+        return atomic_charges_packed(self.const, species, P, self._packK)
 
     def initialize(self, species, coordinates, velocities=None, key=None,
                    Temp=300.0, initial_force: bool = True) -> XLBOMDState:
@@ -101,7 +125,7 @@ class XLBOMD(MolecularDynamics):
                          acc=jnp.zeros_like(coordinates),
                          P=jax.lax.stop_gradient(out.P),
                          E0=out.Hf + Ek, key=k2, step=jnp.asarray(0))
-        D = st.P
+        D = self._pack_mat(st.P)
         Pt = jnp.broadcast_to(D[None], (self.m,) + D.shape)
         return XLBOMDState(
             coordinates=st.coordinates, velocities=st.velocities, acc=st.acc,
@@ -115,6 +139,8 @@ class XLBOMD(MolecularDynamics):
         x = state.coordinates + v * dt
 
         # electronic propagation: P <- cc*kappa*D + sum coeff[cindx:cindx+m]*Pt
+        # (runs in the packed layout when pack_heavy is set — the ring sum
+        # is pure HBM traffic, ~4x less at the compact orbital size)
         cindx = state.step % self.m
         cs = jax.lax.dynamic_slice_in_dim(self.coeff, cindx, self.m)
         P = self.coeff_D * state.D + jnp.einsum('k,knij->nij', cs, state.Pt)
@@ -122,15 +148,17 @@ class XLBOMD(MolecularDynamics):
             state.Pt, P, self.m - 1 - cindx, axis=0)
 
         force, Epot, D = force_xl(self.const, self.tables, self.seqm_cfg,
-                                  species, x, P, self.learned)
+                                  species, x,
+                                  self._unpack_mat(P, species.shape[1]),
+                                  self.learned)
         acc = force / mass * ACC_SCALE
         v = v + 0.5 * acc * dt
         state = dataclasses.replace(
-            state, coordinates=x, velocities=v, acc=acc, D=D, P=P, Pt=Pt,
-            step=state.step + 1)
+            state, coordinates=x, velocities=v, acc=acc,
+            D=self._pack_mat(D), P=P, Pt=Pt, step=state.step + 1)
         state = self._thermostat(species, state, Epot)
 
         Ek, T = kinetic_energy(self.const, species, state.velocities)
-        q = atomic_charges(self.const, species, state.P)
+        q = self._charges(species, state.P)
         obs = Observables(Ek, T, Epot, dipole(q, state.coordinates), q)
         return state, obs

@@ -76,9 +76,15 @@ def make_alkane(n_carbons: int) -> Tuple[np.ndarray, np.ndarray]:
 
 
 def make_batch(nmol: int, molsize: int = 8, names: Sequence[str] = None,
-               jitter: float = 0.0, seed: int = 0
+               jitter: float = 0.0, seed: int = 0, sort: bool = False
                ) -> Tuple[np.ndarray, np.ndarray]:
-    """Round-robin batch of small organics padded to ``molsize``."""
+    """Round-robin batch of small organics padded to ``molsize``.
+
+    ``sort=True`` groups identical species contiguously (stable order,
+    same molecule multiset): per-molecule results are unchanged, but
+    batched while_loops (SP2 kernel programs, SCF) run each block only to
+    its own slowest member instead of every block running to the global
+    max — a construction-time batching choice, zero runtime cost."""
     names = [n for n in (names or MOLECULES.keys())
              if len(MOLECULES[n][0]) <= molsize]
     rng = np.random.RandomState(seed)
@@ -92,4 +98,7 @@ def make_batch(nmol: int, molsize: int = 8, names: Sequence[str] = None,
         if jitter:
             xi = xi + jitter * rng.randn(*xi.shape)
         coords[i, :n] = xi
+    if sort:
+        order = np.argsort(np.arange(nmol) % len(names), kind="stable")
+        species, coords = species[order], coords[order]
     return species, coords

@@ -55,6 +55,45 @@ def test_xlbomd_trajectory_parity(golden, method):
                                g["xl_vel"], atol=1e-7)
 
 
+def test_xlbomd_packed_state_parity(golden):
+    """pack_heavy holds the XL electronic history (P/D/Pt) in the static
+    compact-orbital layout; the trajectory and observables must match the
+    full-layout path exactly up to roundoff.  Uses the molsize-8 bench
+    batch so the packed size (16) is genuinely smaller than 4A (32)."""
+    from pyseqm_tpu.utils.molecules import make_batch
+    const = pq.make_constants(dtype=jnp.float64)
+    tables = pq.load_element_tables("AM1", dtype=jnp.float64)
+    cfg = pq.SEQMConfig(method="AM1",
+                        scf=SCFConfig(eps=1.0e-10, converger=(2,)))
+    sp, co = make_batch(6, 8, jitter=0.02)
+    species = jnp.asarray(sp, dtype=jnp.int32)
+    coords = jnp.asarray(co, dtype=jnp.float64)
+    md_full = XLBOMD(const, tables, cfg, MDConfig(timestep=1.0), k=5)
+    cfg_p = dataclasses.replace(
+        cfg, scf=dataclasses.replace(
+            cfg.scf, pack_heavy=pq.packed_heavy_count(species)))
+    md_pack = XLBOMD(const, tables, cfg_p, MDConfig(timestep=1.0), k=5)
+
+    sf = md_full.initialize(species, coords,
+                            velocities=jnp.zeros_like(coords))
+    sp_ = md_pack.initialize(species, coords,
+                             velocities=jnp.zeros_like(coords))
+    A = species.shape[1]
+    assert sp_.Pt.shape[-1] < 4 * A  # actually packed
+    for _ in range(5):
+        sf, of = md_full.step(species, sf)
+        sp_, op = md_pack.step(species, sp_)
+    np.testing.assert_allclose(np.asarray(sp_.coordinates),
+                               np.asarray(sf.coordinates), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(op.charges),
+                               np.asarray(of.charges), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(op.Epot),
+                               np.asarray(of.Epot), atol=1e-10)
+    from pyseqm_tpu.ops.density import static_unpack_mat
+    Pu = static_unpack_mat(sp_.P, cfg_p.scf.pack_heavy, A)
+    np.testing.assert_allclose(np.asarray(Pu), np.asarray(sf.P), atol=1e-10)
+
+
 def test_nve_energy_conservation(golden):
     g, const, tables, cfg, species, coords = _setup(golden)
     md = MolecularDynamics(const, tables, cfg, MDConfig(timestep=0.2))

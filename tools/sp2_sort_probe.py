@@ -1,0 +1,109 @@
+"""Probe: SP2 kernel on the round-robin bench batch vs statically
+species-sorted order.
+
+The kernel's while_loop is per grid program (KPANEL panels = 256 molecules
+at n=16); a program runs until its slowest molecule converges.  The bench
+batch round-robins 6 species, so every program contains the highest-
+iteration species and the whole grid runs to the global max.  Construction-
+order sorting by species (zero runtime cost — molecules are independent)
+groups hard molecules into few programs: total time = sum of per-program
+maxima instead of G * global max.
+
+Run on the TPU host: python tools/sp2_sort_probe.py
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import pyseqm_tpu as pq
+from pyseqm_tpu.ops import density as dn
+from pyseqm_tpu.ops import sp2_pallas
+from pyseqm_tpu.scf import SCFConfig
+from pyseqm_tpu.system import make_system
+from pyseqm_tpu.utils.molecules import make_batch
+
+NMOL = 10240
+R = 30
+
+
+def timed(run, a0):
+    out = jax.block_until_ready(run(a0))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = jax.block_until_ready(run(a0))
+        best = min(best, time.perf_counter() - t0)
+    return best / R * 1e3
+
+
+def main():
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    sp, co = make_batch(NMOL, 8, jitter=0.02)
+    species = jnp.asarray(sp)
+    coords = jnp.asarray(co, jnp.float32)
+    K = pq.packed_heavy_count(sp)
+    scf = SCFConfig(eps=1.0e-5, converger=(2,), use_sp2=True,
+                    sp2_eps=1.0e-4, max_iter=200, pack_heavy=K)
+    const, tables, cfg = pq.build("AM1", dtype=jnp.float32, scf=scf)
+    sys_ = make_system(const, species, coords, heavy_count=K)
+
+    out = jax.jit(lambda c: pq.energy(const, tables, cfg, species, c))(coords)
+    F = jax.block_until_ready(out.F)
+    A = species.shape[1]
+    n_st = dn.static_pack_size(K, A, multiple=16)
+
+    noccd = sys_.nocc.astype(jnp.float32)
+    mfull = dn.orbital_mask(sys_).astype(jnp.float32)
+    mk = dn.static_pack_vec(mfull, K, n_st)
+    eye = jnp.eye(n_st, dtype=jnp.float32)
+
+    @jax.jit
+    def prep(F):
+        Fp = dn.static_pack_mat(F * mfull[:, :, None] * mfull[:, None, :],
+                                K, n_st)
+        h1, hN = dn._gershgorin(Fp)
+        Fp = Fp + eye[None] * ((1.0 - mk) * hN[:, None])[:, None, :]
+        a0 = (eye[None] * hN[:, None, None] - Fp) / (hN - h1)[:, None, None]
+        return a0
+
+    a0 = jax.block_until_ready(prep(F))
+
+    def make_run(nocc_arr):
+        @jax.jit
+        def run(a0):
+            def step(a, _):
+                P = sp2_pallas.sp2_purify_tpu(a, nocc_arr, 1.0e-4)
+                return a + 1.0e-9 * P, None
+            return jax.lax.scan(step, a0, None, length=R)[0]
+        return run
+
+    # round-robin (bench order)
+    ms_rr = timed(make_run(noccd), a0)
+    print(f"round-robin order : {ms_rr:7.3f} ms/call")
+
+    # statically sorted by species identity (stable, construction-time)
+    base_id = np.arange(NMOL) % 6
+    order = jnp.asarray(np.argsort(base_id, kind="stable"))
+    a0_s = a0[order]
+    nocc_s = noccd[order]
+    ms_sorted = timed(make_run(nocc_s), a0_s)
+    print(f"species-sorted    : {ms_sorted:7.3f} ms/call "
+          f"({ms_rr / ms_sorted:.2f}x)")
+
+    # per-species cost: which molecule class sets the iteration count?
+    for i, name in enumerate(["CH2O", "H2O", "CH4", "NH3", "CH3OH", "C2H6"]):
+        idx = jnp.asarray(np.nonzero(base_id == i)[0][:1536])
+        ms_i = timed(make_run(noccd[idx]), a0[idx])
+        print(f"  {name:6s} x1536  : {ms_i:7.3f} ms/call")
+        sys.stdout.flush()
+
+
+if __name__ == "__main__":
+    main()
