@@ -169,6 +169,11 @@ def _integral_stack(const, sys, p, Kbeta, cfg):
     """
     A = sys.species.shape[1]
     dense, packK = _resolve_pair_layout(cfg, A)
+    if Kbeta is not None and packK is not None:
+        # the ML interface specifies Kbeta in canonical pair_index(A)
+        # order; the packed pipeline enumerates pairs class-segmented
+        from ..system import pair_packed_from_canonical
+        Kbeta = Kbeta[:, jnp.asarray(pair_packed_from_canonical(A, packK))]
     if dense and packK is not None:
         from ..ops.hcore import hcore_dense_split
 
@@ -196,7 +201,12 @@ def _integral_stack(const, sys, p, Kbeta, cfg):
         remat = A >= 32
     hcore_fn = jax.checkpoint(build) if remat else build
     M, w = hcore_fn(const, sys, p, Kbeta)
-    if dense and cfg.dense_fock is False and hasattr(w, "rig"):
+    if dense and cfg.dense_fock is False:
+        if not hasattr(w, "rig"):
+            raise ValueError(
+                "dense_fock=False (flat extraction) is not supported with "
+                "class-segmented dense integrals (pack_pairs + pack_heavy "
+                "on the dense path); set pack_pairs=False to force it.")
         from ..ops.tetci import from_grid
         w_f = from_grid(w, sys.pair_i, sys.pair_j)
     else:

@@ -410,12 +410,7 @@ def diatom_overlap(qni, qnj, xij, rij, zeta_i, zeta_j, precise=False):
         S111, S211, S121, S221, S222 = _s_combinations(
             rij, zsi, zpi, zsj, zpj, jcall2, jcall3, jcall4, False)
 
-    # bond direction with the reference's near-axis regularization
-    # (diat_overlap.py:24-45): below xy < 1e-10 snap to +-z.
-    xy = jnp.sqrt(xij[..., 0] ** 2 + xij[..., 1] ** 2)
-    zsign = jnp.sign(xij[..., 2])
-    v = jnp.where((xy >= 1.0e-10)[..., None], xij,
-                  jnp.stack([jnp.zeros_like(zsign), jnp.zeros_like(zsign), zsign], axis=-1))
+    v = _reg_v(xij)
 
     eye3 = jnp.eye(3, dtype=dtype)
     vv = v[..., :, None] * v[..., None, :]            # (..., 3, 3)

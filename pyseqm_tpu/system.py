@@ -69,6 +69,23 @@ def pair_index_packed(A: int, K: int) -> Tuple[np.ndarray, np.ndarray]:
     return (np.asarray(seg_i, np.int32), np.asarray(seg_j, np.int32))
 
 
+@functools.lru_cache(maxsize=None)
+def pair_packed_from_canonical(A: int, K: int) -> np.ndarray:
+    """Canonical-triu index of each packed pair position.
+
+    User-facing per-pair arrays (the learned Kbeta hook) are specified in
+    the canonical ``pair_index(A)`` row-major upper-triangle order
+    regardless of the pair layout; gathering with this map reorders them
+    to the class-segmented ``pair_index_packed(A, K)`` order the packed
+    integral pipeline consumes (models/energy.py applies it centrally, so
+    enabling ``pack_heavy``/``pack_pairs`` never silently changes the ML
+    interface contract)."""
+    iu, ju = pair_index_packed(A, K)
+    i = iu.astype(np.int64)
+    canon = i * (2 * A - i - 1) // 2 + (ju - iu - 1)
+    return canon.astype(np.int32)
+
+
 def pair_segment_sizes(A: int, K: int) -> Tuple[int, int, int]:
     """Static (n_xx, n_xh, n_hh) segment lengths of pair_index_packed."""
     K = max(0, min(K, A))

@@ -117,19 +117,24 @@ def test_pack_pairs_kbeta_hook():
     rng = np.random.default_rng(0)
     kb = jnp.asarray(1.0 + 0.05 * rng.standard_normal((4, np_pairs, 4)))
 
-    # Kbeta follows the System's pair ordering: remap for the packed run
+    # the ML interface contract: Kbeta is ALWAYS in canonical pair_index
+    # order; models/energy.py remaps it to the packed enumeration
+    # internally (pair_packed_from_canonical), so the same array must
+    # give identical physics with packing on and off
+    from pyseqm_tpu.system import pair_packed_from_canonical
     iu0, ju0 = pair_index(species.shape[1])
     iuP, juP = pair_index_packed(species.shape[1], K)
     lut = {(i, j): k for k, (i, j) in enumerate(zip(iu0, ju0))}
     perm = np.asarray([lut[(i, j)] for i, j in zip(iuP, juP)])
+    np.testing.assert_array_equal(
+        pair_packed_from_canonical(species.shape[1], K), perm)
     outs = {}
     for pp in (False, True):
         scf = SCFConfig(eps=1.0e-9, converger=(2,), pack_heavy=K)
         cfg = pq.SEQMConfig(method="AM1", scf=scf, pack_pairs=pp)
-        kbx = kb[:, perm] if pp else kb
         out = jax.jit(lambda c: pq.energy(
             const, tables, cfg, species, c,
-            learned={"Kbeta": kbx}))(coords)
+            learned={"Kbeta": kb}))(coords)
         outs[pp] = np.asarray(out.Hf)
     np.testing.assert_allclose(outs[True], outs[False], atol=1e-9)
 

@@ -26,12 +26,15 @@ NMOL = 10240
 R = 30
 
 
-def timed(fn, *args):
-    out = jax.block_until_ready(fn(*args))
+def timed(fn, x):
+    # feed each call's output back as the next input: identical-args jit
+    # replay on the axon backend returns cached results in ~0 ms
+    # (CLAUDE.md timing methodology)
+    out = jax.block_until_ready(fn(x))
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        out = jax.block_until_ready(fn(*args))
+        out = jax.block_until_ready(fn(out))
         best = min(best, time.perf_counter() - t0)
     return best / R * 1e3, out
 

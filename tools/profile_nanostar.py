@@ -131,7 +131,8 @@ def main(n_carbons=294):
         with mmp:
             D = sp2(s0, F, cfg.scf.sp2_eps, cfg.scf.sp2_precision,
                     cfg.scf.sp2_dots, cfg.scf.sp2_tight_bounds,
-                    pack_n=cfg.scf.pack_orbitals)
+                    pack_n=cfg.scf.pack_orbitals,
+                    pack_heavy=cfg.scf.pack_heavy)
         return F + 1.0e-9 * D
 
     results["sp2_fwd"], _ = chain_timer(sp2_fwd, F0)

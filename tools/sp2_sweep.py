@@ -95,8 +95,10 @@ def main():
             continue
         best = float("inf")
         for _ in range(3):
+            # chain the output back in: identical-args jit replay on the
+            # axon backend returns cached results in ~0 ms (CLAUDE.md)
             t0 = time.perf_counter()
-            out = jax.block_until_ready(run(a0))
+            out = jax.block_until_ready(run(out))
             best = min(best, time.perf_counter() - t0)
         ms = best / R * 1e3
         if base is None:
