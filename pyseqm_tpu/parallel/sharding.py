@@ -76,7 +76,7 @@ def xlbomd_state_specs():
     """PartitionSpec tree for an XLBOMDState sharded over 'mol'.
 
     Every field is batch-major except the Pt history ring buffer
-    (m, nmol, 4A, 4A) — sharded on axis 1 — and the RNG key / step
+    (m, nmol, n, n) — sharded on axis 1 — and the RNG key / step
     counter, which are replicated."""
     from ..drivers.xlbomd import XLBOMDState
     return XLBOMDState(
