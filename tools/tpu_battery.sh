@@ -18,6 +18,7 @@ run() {
 
 run headline     python bench.py
 run xlbomd_ml    python bench.py --config xlbomd-ml
+run ml_trained   python bench.py --config xlbomd-ml-trained
 run scf          python bench.py --config scf
 run scf_eigh     python bench.py --config scf-eigh
 run bomd         python bench.py --config bomd
