@@ -329,8 +329,14 @@ def bench_nanostar(n_carbons=294, repeats=3):
     # keep ONLY the density alive: the full EnergyOutput pins ~300 MB of
     # grids (F, Hcore, the integral blocks) in HBM for the whole timed
     # loop, and the allocator pressure costs a measured ~20% per force
-    # step at this size
-    P0 = out.P
+    # step at this size.  The density is held PACKED and the force step
+    # runs the fully-packed electronic chain (force_xl packed_io — the
+    # grid formulation spent 7.4 ms relayouting P and ~10 ms scattering
+    # F per step at this size, tools/fock_dense_probe.py).
+    from pyseqm_tpu.ops.density import packed_solver_size, static_pack_mat
+    K = cfg.scf.pack_heavy
+    n_st = packed_solver_size(K, species.shape[1])
+    P0 = static_pack_mat(out.P, K, n_st)
     del out
 
     # chain force evaluations through the coordinates so the backend
@@ -341,7 +347,8 @@ def bench_nanostar(n_carbons=294, repeats=3):
     @jax.jit
     def many(c, P):
         def step(c, _):
-            frc, _, D = force_xl(const, tables, cfg, species, c, P)
+            frc, _, D = force_xl(const, tables, cfg, species, c, P,
+                                 packed_io=True)
             return c + 1.0e-7 * frc, None
         return jax.lax.scan(step, c, None, length=R)[0]
 

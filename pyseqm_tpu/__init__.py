@@ -10,7 +10,7 @@ jax.sharding data parallelism over the molecule axis.
 """
 from .constants import EV, A0, Constants, make_constants  # noqa: F401
 from .ops.density import (packed_heavy_count,  # noqa: F401
-                          packed_orbital_size)
+                          packed_orbital_size, packed_solver_size)
 from .parameters import PARAMETER_LIST, load_element_tables  # noqa: F401
 from .scf import SCFConfig  # noqa: F401
 from .system import System, make_system, sort_species  # noqa: F401

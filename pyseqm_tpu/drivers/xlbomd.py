@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from ..constants import Constants
 from ..models.energy import SEQMConfig, energy
 from ..models.xlbomd import force_xl
-from ..ops.density import (static_pack_mat, static_pack_size,
+from ..ops.density import (packed_solver_size, static_pack_mat,
                            static_unpack_mat)
 from .md import (ACC_SCALE, MDConfig, MDState, MolecularDynamics,
                  Observables, atom_masses, atomic_charges,
@@ -83,20 +83,36 @@ class XLBOMD(MolecularDynamics):
         self.coeff = jnp.asarray(coeff * 2)  # doubled for circular slicing
         self._packK = seqm_cfg.scf.pack_heavy
 
+    def _layout(self, A):
+        """(n_st, packed_io): the electronic-state layout for A atom
+        slots.  n_st None = full 4A layout.  packed_io = the dense
+        class-segmented path runs the fully-packed electronic chain
+        (force_xl packed_io) — no per-step pack/unpack at all."""
+        if self._packK is None:
+            return None, False
+        from ..models.energy import _resolve_pair_layout
+        n_st = packed_solver_size(self._packK, A)
+        if n_st is None:
+            return None, False
+        dense, packK = _resolve_pair_layout(self.seqm_cfg, A)
+        return n_st, bool(dense and packK is not None)
+
     def _pack_mat(self, X):
         if self._packK is None:
             return X
         A = X.shape[-1] // 4
-        return static_pack_mat(X, self._packK,
-                               static_pack_size(self._packK, A, multiple=16))
+        n_st = packed_solver_size(self._packK, A)
+        if n_st is None:
+            return X
+        return static_pack_mat(X, self._packK, n_st)
 
     def _unpack_mat(self, X, A):
-        if self._packK is None:
+        if self._packK is None or X.shape[-1] == 4 * A:
             return X
         return static_unpack_mat(X, self._packK, A)
 
     def _charges(self, species, P):
-        if self._packK is None:
+        if self._packK is None or P.shape[-1] == 4 * species.shape[1]:
             return atomic_charges(self.const, species, P)
         return atomic_charges_packed(self.const, species, P, self._packK)
 
@@ -147,15 +163,18 @@ class XLBOMD(MolecularDynamics):
         Pt = jax.lax.dynamic_update_index_in_dim(
             state.Pt, P, self.m - 1 - cindx, axis=0)
 
+        _, packed_io = self._layout(species.shape[1])
         force, Epot, D = force_xl(self.const, self.tables, self.seqm_cfg,
                                   species, x,
-                                  self._unpack_mat(P, species.shape[1]),
-                                  self.learned)
+                                  P if packed_io
+                                  else self._unpack_mat(P, species.shape[1]),
+                                  self.learned, packed_io=packed_io)
         acc = force / mass * ACC_SCALE
         v = v + 0.5 * acc * dt
         state = dataclasses.replace(
             state, coordinates=x, velocities=v, acc=acc,
-            D=self._pack_mat(D), P=P, Pt=Pt, step=state.step + 1)
+            D=D if packed_io else self._pack_mat(D), P=P, Pt=Pt,
+            step=state.step + 1)
         state = self._thermostat(species, state, Epot)
 
         Ek, T = kinetic_energy(self.const, species, state.velocities)

@@ -146,12 +146,16 @@ def _resolve_pair_layout(cfg: SEQMConfig, A: int):
     return dense, (cfg.scf.pack_heavy if pp else None)
 
 
-def _integral_stack(const, sys, p, Kbeta, cfg):
+def _integral_stack(const, sys, p, Kbeta, cfg, packed_m=None):
     """Shared dense/flat integral plumbing for energy() and energy_xl().
 
     Returns (M, w, w_f): the Hcore grid, the two-electron integrals (flat
     WPack or grid-resident WPackGrid), and the integrals to feed the
     differentiable Fock build.
+
+    ``packed_m`` (dense + pack_pairs only): build M directly as the
+    static packed MATRIX of that size (hcore_dense_split packed_m) for
+    the fully-packed Fock path (ops/fock.py fock_packed_split).
 
     Large molecules (A >= 64, or cfg.dense_pair_grid) build the integrals
     dense (ops/hcore.py hcore_dense: the flat path's per-pair gathers were
@@ -174,13 +178,17 @@ def _integral_stack(const, sys, p, Kbeta, cfg):
         # order; the packed pipeline enumerates pairs class-segmented
         from ..system import pair_packed_from_canonical
         Kbeta = Kbeta[:, jnp.asarray(pair_packed_from_canonical(A, packK))]
+    if packed_m is not None and not (dense and packK is not None):
+        raise ValueError("packed_m requires the dense class-segmented "
+                         "path (dense_pair_grid + pack_pairs)")
     if dense and packK is not None:
         from ..ops.hcore import hcore_dense_split
 
         def build(const, sys, p, Kbeta):
             return hcore_dense_split(const, sys, p, packK,
                                      cfg.pair_outer_cutoff, Kbeta,
-                                     cfg.precise_overlap)
+                                     cfg.precise_overlap,
+                                     packed_m=packed_m)
     elif dense:
         from ..ops.hcore import hcore_dense
 

@@ -43,48 +43,86 @@ def energy_xl(
     P: jnp.ndarray,
     learned: Optional[LearnedParams] = None,
     charges: Optional[jnp.ndarray] = None,
+    packed_io: bool = False,
 ) -> XLEnergyOutput:
-    """XL-BOMD energy terms given the dynamic density field P."""
+    """XL-BOMD energy terms given the dynamic density field P.
+
+    ``packed_io``: P is in the static packed layout
+    (density.packed_solver_size) and the returned D stays packed — the
+    whole electronic chain (Hcore assembly, Fock build, purification,
+    Tr contractions) runs packed with zero full-grid relayouts.
+    Requires the dense class-segmented path (A >= 64 + pack_heavy); see
+    ops/fock.py fock_packed_split for the measured motivation.
+    """
     with jax.default_matmul_precision(cfg.matmul_precision):
         return _energy_xl_impl(const, tables, cfg, species, coordinates, P,
-                               learned, charges)
+                               learned, charges, packed_io)
 
 
 def _energy_xl_impl(const, tables, cfg, species, coordinates, P, learned,
-                    charges):
+                    charges, packed_io=False):
     from .energy import _resolve_pair_layout
-    _, packK = _resolve_pair_layout(cfg, species.shape[1])
+    dense, packK = _resolve_pair_layout(cfg, species.shape[1])
     sys = make_system(const, species, coordinates, charges,
                       cfg.pair_outer_cutoff, heavy_count=packK)
     p = _atom_parameters(tables, cfg.method, sys, learned, coordinates)
     Kbeta = p.pop("Kbeta", None)
     p.pop("g_ss_nuc", None)
 
-    # shared dense/flat + remat plumbing with energy() — see
-    # models/energy.py _integral_stack for the measured trade-offs
-    M, w, w_f = _integral_stack(const, sys, p, Kbeta, cfg)
-    H = grid_to_mat(M)
-    F = fock(sys, P, M, w_f, p)
-
-    # D is built once from F and treated as a constant (no_grad block,
-    # XLBOMD.py:124-128)
-    if cfg.scf.use_sp2:
-        D = sp2(sys, jax.lax.stop_gradient(F), cfg.scf.sp2_eps,
-                cfg.scf.sp2_precision, cfg.scf.sp2_dots,
-                cfg.scf.sp2_tight_bounds, pack_n=cfg.scf.pack_orbitals,
-                pack_heavy=cfg.scf.pack_heavy)
-        if cfg.scf.sp2_rescue > 0.0:
-            from ..ops.density import eigh_rescue
-            # the propagated field P tracks the physical state, so
-            # ||D - P|| scores occupation flips the commutator cannot see
-            D = eigh_rescue(sys, jax.lax.stop_gradient(F), D,
-                            cfg.scf.sp2_rescue,
-                            ref=jax.lax.stop_gradient(P))
+    if packed_io:
+        from ..ops.density import packed_solver_size, static_unpack_mat
+        from ..ops.fock import fock_packed_split
+        A = species.shape[1]
+        if not (dense and packK is not None):
+            raise ValueError("packed_io requires the dense class-"
+                             "segmented path (A >= 64 + scf.pack_heavy)")
+        n_st = packed_solver_size(packK, A)
+        if n_st is None or P.shape[-1] != n_st:
+            raise ValueError(
+                f"packed_io P has n={P.shape[-1]}, expected "
+                f"packed_solver_size={n_st}")
+        M, w, _ = _integral_stack(const, sys, p, Kbeta, cfg, packed_m=n_st)
+        H = M                                   # packed core Hamiltonian
+        F = fock_packed_split(sys, P, M, w, p, packK, n_st)
+        if cfg.scf.use_sp2:
+            D = sp2(sys, jax.lax.stop_gradient(F), cfg.scf.sp2_eps,
+                    cfg.scf.sp2_precision, cfg.scf.sp2_dots,
+                    cfg.scf.sp2_tight_bounds, pack_heavy=packK,
+                    prepacked=True)
+        else:
+            from ..ops.density import static_pack_mat
+            Fu = static_unpack_mat(jax.lax.stop_gradient(F), packK, A)
+            Du = sym_eig(sys, Fu, pack_n=cfg.scf.pack_orbitals,
+                         pack_heavy=packK)[1]
+            D = static_pack_mat(Du, packK, n_st)
+        D = jax.lax.stop_gradient(D)
     else:
-        D = sym_eig(sys, jax.lax.stop_gradient(F),
-                    pack_n=cfg.scf.pack_orbitals,
-                    pack_heavy=cfg.scf.pack_heavy)[1]
-    D = jax.lax.stop_gradient(D)
+        # shared dense/flat + remat plumbing with energy() — see
+        # models/energy.py _integral_stack for the measured trade-offs
+        M, w, w_f = _integral_stack(const, sys, p, Kbeta, cfg)
+        H = grid_to_mat(M)
+        F = fock(sys, P, M, w_f, p)
+
+        # D is built once from F and treated as a constant (no_grad block,
+        # XLBOMD.py:124-128)
+        if cfg.scf.use_sp2:
+            D = sp2(sys, jax.lax.stop_gradient(F), cfg.scf.sp2_eps,
+                    cfg.scf.sp2_precision, cfg.scf.sp2_dots,
+                    cfg.scf.sp2_tight_bounds, pack_n=cfg.scf.pack_orbitals,
+                    pack_heavy=cfg.scf.pack_heavy)
+            if cfg.scf.sp2_rescue > 0.0:
+                from ..ops.density import eigh_rescue
+                # the propagated field P tracks the physical state, so
+                # ||D - P|| scores occupation flips the commutator cannot
+                # see
+                D = eigh_rescue(sys, jax.lax.stop_gradient(F), D,
+                                cfg.scf.sp2_rescue,
+                                ref=jax.lax.stop_gradient(P))
+        else:
+            D = sym_eig(sys, jax.lax.stop_gradient(F),
+                        pack_n=cfg.scf.pack_orbitals,
+                        pack_heavy=cfg.scf.pack_heavy)[1]
+        D = jax.lax.stop_gradient(D)
 
     EnucAB, enuc_mask = _nuclear_term(const, sys, w, cfg, p)
     Eiso = elec_energy_isolated_atom(const, sys.species, p)
@@ -104,12 +142,14 @@ def force_xl(
     P: jnp.ndarray,
     learned: Optional[LearnedParams] = None,
     charges: Optional[jnp.ndarray] = None,
+    packed_io: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """(force, Hf, D): -dHf/dR through the single Fock build
-    (cf. ForceXL, XLBOMD.py:189-220)."""
+    (cf. ForceXL, XLBOMD.py:189-220).  ``packed_io``: see energy_xl."""
 
     def loss(coords):
-        out = energy_xl(const, tables, cfg, species, coords, P, learned, charges)
+        out = energy_xl(const, tables, cfg, species, coords, P, learned,
+                        charges, packed_io)
         return jnp.sum(out.Hf), (out.Hf, out.D)
 
     grad, (Hf, D) = jax.grad(loss, has_aux=True)(coordinates)

@@ -133,6 +133,19 @@ def static_pack_size(K: int, A: int, multiple: int = 16) -> int:
     return int(min(4 * A, -(-(3 * K + A) // multiple) * multiple))
 
 
+def packed_solver_size(K: int, A: int) -> Optional[int]:
+    """The static packed size the density solvers actually run at: 16-
+    aligned inside the SP2 kernel's n <= 128 range, 128-aligned (full MXU
+    tiles) beyond it, None when packing cannot shrink 4A.  Every producer
+    of pre-packed solver inputs (fock_packed_split, the XL driver's
+    packed electronic state) must use THIS rule so layouts agree with
+    sp2/sym_eig."""
+    n_st = static_pack_size(K, A, multiple=16)
+    if n_st > 128:
+        n_st = static_pack_size(K, A, multiple=128)
+    return None if n_st >= 4 * A else n_st
+
+
 def _static_pack_rows(X, K: int, n_st: int):
     """(B, 4A, c) -> (B, n_st, c): keep rows [0, 4K), then the s-row of
     every later atom (pure slice/reshape/concat — no gathers; cf. the
@@ -361,7 +374,7 @@ def sp2(sys: System, F: jnp.ndarray, eps: float = 1.0e-4,
         precision: str = "highest", dots: str = "highest",
         tight_bounds: bool = False, sort_packing: bool = False,
         debug_iters: bool = False, pack_n: int = None,
-        pack_heavy: int = None):
+        pack_heavy: int = None, prepacked: bool = False):
     """SP2 density-matrix purification (cf. SP2.py:3-72).
 
     Pure batched matmuls — the TPU-preferred density path.  Per-molecule
@@ -382,6 +395,10 @@ def sp2(sys: System, F: jnp.ndarray, eps: float = 1.0e-4,
     over ``pack_n``, whose per-molecule permutation gathers cost more than
     the packed solve saves at small n (measured 18 ms vs a 7 ms win at
     (10240, 32, 32)).
+
+    ``prepacked``: F is ALREADY in the static packed layout at
+    packed_solver_size(pack_heavy, A) (e.g. from fock_packed_split); the
+    returned P stays packed too — no relayouts at either boundary.
     """
     # materialize F once before the multi-consumer prep (mask multiply,
     # Gershgorin, a0 build): without this barrier XLA re-fuses the whole
@@ -392,13 +409,18 @@ def sp2(sys: System, F: jnp.ndarray, eps: float = 1.0e-4,
     f32 = dtype == jnp.float32
     eps_kernel = max(eps, 1.0e-5)   # pallas kernel: exact-f32 dots
     A = sys.species.shape[1]
-    n_st = None
-    if pack_heavy is not None:
-        n_st = static_pack_size(pack_heavy, A, multiple=16)
-        if n_st > 128:      # beyond the kernel: align to full MXU tiles
-            n_st = static_pack_size(pack_heavy, A, multiple=128)
-    if n_st is not None and n_st >= F.shape[-1]:
-        n_st = None                 # packing cannot shrink the solve
+    if prepacked:
+        if pack_heavy is None:
+            raise ValueError("prepacked=True requires pack_heavy")
+        n_st = F.shape[-1]
+        if n_st != packed_solver_size(pack_heavy, A):
+            raise ValueError(
+                f"prepacked F has n={n_st}, expected "
+                f"packed_solver_size={packed_solver_size(pack_heavy, A)}")
+    else:
+        n_st = None
+        if pack_heavy is not None:
+            n_st = packed_solver_size(pack_heavy, A)
     n_eps = F.shape[-1]
     if pack_n is not None:
         n_eps = min(pack_n, n_eps)
@@ -437,14 +459,19 @@ def sp2(sys: System, F: jnp.ndarray, eps: float = 1.0e-4,
         # hN in place and mask afterwards.  (take_along_axis permutation
         # gathers cost ~18 ms at (10240, 32, 32) — never gather here.)
         m = orbital_mask(sys).astype(dtype)
-        mm = m[:, :, None] * m[:, None, :]
-        Fm = F * mm                      # zero padding rows/cols
-        if n_st is not None:
+        if prepacked:
+            mk = static_pack_vec(m, pack_heavy, n_st)
+            mm = mk[:, :, None] * mk[:, None, :]
+            Fm = F * mm
+        elif n_st is not None:
             # gather-free static compact layout (see pack_heavy above):
             # dead hydrogen p-rows land *interior*, pinned like padding
-            Fm = static_pack_mat(Fm, pack_heavy, n_st)
+            mm = m[:, :, None] * m[:, None, :]
+            Fm = static_pack_mat(F * mm, pack_heavy, n_st)
             mk = static_pack_vec(m, pack_heavy, n_st)
         else:
+            mm = m[:, :, None] * m[:, None, :]
+            Fm = F * mm                  # zero padding rows/cols
             mk = m
         eye_k = jnp.eye(n_kernel, dtype=dtype)
         h1, hN = _gershgorin(Fm)
@@ -473,7 +500,7 @@ def sp2(sys: System, F: jnp.ndarray, eps: float = 1.0e-4,
                                            eps_kernel, dots)[inv]
         else:
             Pp = sp2_pallas.sp2_purify_tpu(a0, noccd, eps_kernel, dots)
-        if n_st is not None:
+        if n_st is not None and not prepacked:
             Pp = static_unpack_mat(Pp, pack_heavy, A)
         if debug_iters:
             return Pp * mm, jnp.asarray(-1)   # kernel path: count not exposed
@@ -483,15 +510,23 @@ def sp2(sys: System, F: jnp.ndarray, eps: float = 1.0e-4,
         # gather-free static compact layout (see pack_heavy above); dead
         # p-rows sit interior, flagged by the packed orbital mask
         mfull = orbital_mask(sys).astype(dtype)
-        Fp = static_pack_mat(F * (mfull[:, :, None] * mfull[:, None, :]),
-                             pack_heavy, n_st)
         mk = static_pack_vec(mfull, pack_heavy, n_st)
+        if prepacked:
+            Fp = F * (mk[:, :, None] * mk[:, None, :])
+        else:
+            Fp = static_pack_mat(
+                F * (mfull[:, :, None] * mfull[:, None, :]),
+                pack_heavy, n_st)
         pad = mk == 0.0
         n = n_st
         eye = jnp.eye(n, dtype=dtype)
 
-        def unpack(a):
-            return static_unpack_mat(a, pack_heavy, A)
+        if prepacked:
+            def unpack(a):
+                return a
+        else:
+            def unpack(a):
+                return static_unpack_mat(a, pack_heavy, A)
     else:
         perm, inv = orbital_permutation(sys)
         Fp = permute_mat(F, perm)
@@ -593,7 +628,11 @@ def sp2(sys: System, F: jnp.ndarray, eps: float = 1.0e-4,
 
     st = jax.lax.while_loop(cond, chunk, st)
     P = unpack(2.0 * st.a0)
-    m = orbital_mask(sys).astype(dtype)
+    if prepacked:
+        m = static_pack_vec(orbital_mask(sys).astype(dtype), pack_heavy,
+                            n_st)
+    else:
+        m = orbital_mask(sys).astype(dtype)
     P = P * m[:, :, None] * m[:, None, :]
     if debug_iters:
         return P, st.k        # body_masked increments k per iteration

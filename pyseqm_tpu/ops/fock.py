@@ -13,9 +13,95 @@ from typing import Dict
 import jax.numpy as jnp
 
 from ..system import System
-from .matrix import grid_to_mat, mat_to_grid
+from .matrix import assemble_packed_mat, grid_to_mat, mat_to_grid
 from .tetci import (WPack, WPackGrid, WPackGridSplit, WPackSplit, _w_apply,
                     w_coulomb_i, w_coulomb_j, w_exchange)
+
+
+def fock_packed_split(sys: System, Pp: jnp.ndarray, Mp: jnp.ndarray,
+                      w: WPackGridSplit, p: Dict[str, jnp.ndarray],
+                      K: int, n_st: int) -> jnp.ndarray:
+    """Fock matrix built ENTIRELY in the static packed layout.
+
+    The grid formulation's cost at 884 atoms is ~0 physics: 7.4 ms for
+    the (nmol, 4A, 4A) -> (A, A, 4, 4) density relayout (a 16-float
+    interleave at ~13 GB/s effective) plus ~10 ms of strided scatters
+    assembling the F grid (tools/fock_dense_probe.py; the actual
+    contractions are < 1 ms).  In the packed layout (heavy 4-orbital
+    blocks first, hydrogen s rows after) the XH and HH blocks are
+    contiguous sub-matrices: the only interleave left is the (4K, 4K)
+    heavy sub-block (~8x smaller) and assembly is block concatenation.
+
+    Pp, Mp: (nmol, n_st, n_st) packed density / core Hamiltonian
+    (``hcore_dense_split(packed_m=n_st)``), n_st =
+    density.packed_solver_size(K, A).  Returns packed F with dead
+    p-rows and padding zeroed — directly consumable by
+    ``sp2(prepacked=True)``.
+    """
+    from .density import orbital_mask, static_pack_vec
+    nmol, A = sys.species.shape
+    AH = A - K
+    sH = slice(0, K)
+    dtype = Pp.dtype
+
+    # density views — every slice below is contiguous in this layout
+    PH4 = Pp[:, :4 * K, :4 * K]
+    Pg_h = PH4.reshape(nmol, K, 4, K, 4).transpose(0, 1, 3, 2, 4)
+    idh = jnp.arange(K)
+    Pd_h = Pg_h[:, idh, idh]                              # (nmol, K, 4, 4)
+    P_hs = Pp[:, 4 * K:4 * K + AH, 4 * K:4 * K + AH]      # (nmol, AH, AH)
+    idl = jnp.arange(AH)
+    pss_l = P_hs[:, idl, idl]                             # (nmol, AH)
+    # Pcol[i, j, b] = P[4i+b, 4K+j] (the heavy-row/H-column strip)
+    Pcol = (Pp[:, :4 * K, 4 * K:4 * K + AH]
+            .reshape(nmol, K, 4, AH).transpose(0, 1, 3, 2))
+
+    gss, gsp = p["g_ss"], p["g_sp"]
+    gpp, gp2, hsp = p["g_pp"], p["g_p2"], p["h_sp"]
+
+    # one-center two-electron terms (fock() lines above, heavy block only;
+    # the hydrogen tail is s-only so just 0.5 pss gss survives)
+    pssh = Pd_h[..., 0, 0]
+    pdiag = jnp.stack([Pd_h[..., 1, 1], Pd_h[..., 2, 2], Pd_h[..., 3, 3]],
+                      axis=-1)
+    pptot = jnp.sum(pdiag, axis=-1)
+    gss_h, gsp_h = gss[:, sH], gsp[:, sH]
+    gpp_h, gp2_h, hsp_h = gpp[:, sH], gp2[:, sH], hsp[:, sH]
+    tmp_h = jnp.zeros_like(Pd_h)
+    tmp_h = tmp_h.at[..., 0, 0].set(
+        0.5 * pssh * gss_h + pptot * (gsp_h - 0.5 * hsp_h))
+    for k in range(1, 4):
+        tmp_h = tmp_h.at[..., k, k].set(
+            pssh * (gsp_h - 0.5 * hsp_h) + 0.5 * Pd_h[..., k, k] * gpp_h
+            + (pptot - Pd_h[..., k, k]) * (1.25 * gp2_h - 0.25 * gpp_h))
+        sp = Pd_h[..., 0, k] * (1.5 * hsp_h - 0.5 * gsp_h)
+        tmp_h = tmp_h.at[..., 0, k].set(sp)
+        tmp_h = tmp_h.at[..., k, 0].set(sp)
+    for i, j in ((1, 2), (1, 3), (2, 3)):
+        ppx = Pd_h[..., i, j] * (0.75 * gpp_h - 1.25 * gp2_h)
+        tmp_h = tmp_h.at[..., i, j].set(ppx)
+        tmp_h = tmp_h.at[..., j, i].set(ppx)
+    tmp_l = 0.5 * pss_l * gss[:, K:A]
+
+    # XX ordered sub-grid (identical contractions to the grid branch)
+    pack = WPack(ri=w.xx.rig, U=w.xx.ug)
+    Xj = jnp.broadcast_to(Pd_h[:, None], w.xx.ug.shape[:3] + (4, 4))
+    dsum_h = jnp.sum(_w_apply(pack, Xj, (1, 2, 3, 4)), axis=2)
+    xch = -0.5 * _w_apply(pack, Pg_h, (1, 3, 2, 4))
+
+    # XH block: w[ab, cd] = wblk[ab] delta_c0 delta_d0
+    dsum_h = dsum_h + jnp.sum(w.xh * pss_l[:, None, :, None, None], axis=2)
+    dsum_l = jnp.sum(w.xh * Pd_h[:, :, None], axis=(1, -1, -2))
+    xcol = -0.5 * jnp.sum(w.xh * Pcol[..., None, :], axis=-1)
+
+    # HH block
+    dsum_l = dsum_l + jnp.sum(w.hh * pss_l[:, None, :], axis=2)
+    xss = -0.5 * w.hh * P_hs
+
+    xxg = xch.at[:, idh, idh].add(tmp_h + dsum_h)
+    F = Mp + assemble_packed_mat(xxg, xcol, xss, tmp_l + dsum_l, n_st)
+    mk = static_pack_vec(orbital_mask(sys).astype(dtype), K, n_st)
+    return F * (mk[:, :, None] * mk[:, None, :])
 
 
 def fock(sys: System, P: jnp.ndarray, M: jnp.ndarray, w: WPack,

@@ -13,6 +13,7 @@ import jax.numpy as jnp
 
 from ..constants import Constants, LENGTH_CONVERSION_FACTOR, OVERLAP_CUTOFF
 from ..system import System, pair_segment_sizes
+from .matrix import assemble_packed_mat
 from .multipole import dd_qq, rho1_additive, rho2_additive
 from .overlap import diatom_overlap, diatom_overlap_hh, diatom_overlap_xh
 from .tetci import (WPack, WPackGrid, WPackGridSplit, WPackSplit,
@@ -423,6 +424,7 @@ def hcore_dense_split(
     pair_outer_cutoff: float = 1.0e10,
     Kbeta: Optional[jnp.ndarray] = None,
     precise_overlap: bool = True,
+    packed_m: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, WPackGridSplit]:
     """Class-segmented gather-free hcore (hcore_dense x hcore_split).
 
@@ -435,6 +437,11 @@ def hcore_dense_split(
     (mu nu | ss) array serves both orientations; the [K:A, K:A] block is
     scalar (ss|ss).  ~5x fewer integral FLOPs / ~6x less grid memory on
     the 884-atom C294H592 reference scale demo (tests/test10).
+
+    ``packed_m`` (= density.packed_solver_size(K, A)): return M directly
+    as the (nmol, packed_m, packed_m) static packed MATRIX instead of the
+    block grid — concat-assembled, no strided scatters (see
+    matrix.assemble_packed_mat and ops/fock.py fock_packed_split).
     """
     nmol, A = sys.species.shape
     dtype = sys.coordinates.dtype
@@ -569,7 +576,19 @@ def hcore_dense_split(
     for k in (1, 2, 3):
         dblk_h = dblk_h.at[..., k, k].add(upp)
     dl00 = dl00 + jnp.where(sys.atom_mask[:, sL], p["U_ss"][:, sL], 0.0)
+    w_out = WPackGridSplit(xx=WPackGrid(rig=ri_xx, ug=U_xx), xh=wxh, hh=whh)
 
+    if packed_m is not None:
+        # assemble M directly in the static packed-matrix layout: block
+        # concatenations instead of strided scatters into the (A, A, 4, 4)
+        # grid — the grid's 16-float interleave relayout + scatter
+        # assembly measured 7.4 + 10 ms on the 884-atom force step
+        # (tools/fock_dense_probe.py), vs ~1 ms for the heavy-subblock
+        # interleave below.
+        idh = jnp.arange(K)
+        Mp = assemble_packed_mat(off_xx.at[:, idh, idh].set(dblk_h),
+                                 off_xh, off_hh, dl00, packed_m)
+        return Mp, w_out
     M = jnp.zeros((nmol, A, A, 4, 4), dtype=dtype)
     M = M.at[:, sH, sH].set(off_xx)
     M = M.at[:, sH, sL, :, 0].set(off_xh)
@@ -580,5 +599,4 @@ def hcore_dense_split(
     M = M.at[:, idh, idh].set(dblk_h)
     idl = jnp.arange(K, A)
     M = M.at[:, idl, idl, 0, 0].set(dl00)
-    return M, WPackGridSplit(
-        xx=WPackGrid(rig=ri_xx, ug=U_xx), xh=wxh, hh=whh)
+    return M, w_out

@@ -235,3 +235,56 @@ def test_dense_split_parity():
                       np.asarray(fx))
     for a, b in zip(outs["dense_split"], outs["flat"]):
         np.testing.assert_allclose(a, b, atol=1e-8)
+
+
+def test_packed_io_xl_parity():
+    """The fully-packed XL electronic chain (hcore packed_m +
+    fock_packed_split + sp2 prepacked, models/xlbomd.py packed_io) must
+    match the grid-formulation path exactly: energies, the purified D,
+    and forces.  92-atom alkane so the dense class-segmented path (A >=
+    64) is active with real interior hydrogens."""
+    import dataclasses
+
+    from pyseqm_tpu.models.xlbomd import energy_xl, force_xl
+    from pyseqm_tpu.ops.density import (packed_solver_size,
+                                        static_pack_mat, static_unpack_mat)
+    from pyseqm_tpu.utils.molecules import make_alkane
+
+    z, x = make_alkane(30)
+    species = jnp.asarray(z[None], jnp.int32)
+    coords = jnp.asarray(x[None], jnp.float64)
+    K = pq.packed_heavy_count(z[None])
+    A = species.shape[1]
+    n_st = packed_solver_size(K, A)
+    const, tables, cfg = pq.build(
+        "AM1", dtype=jnp.float64,
+        scf=SCFConfig(eps=1.0e-10, converger=(2,), use_sp2=True,
+                      sp2_eps=1.0e-7, pack_heavy=K), pack_pairs=True)
+    P0 = jax.jit(lambda c: pq.energy(const, tables, cfg, species, c))(
+        coords).P
+
+    o1 = jax.jit(lambda c, P: energy_xl(
+        const, tables, cfg, species, c, P))(coords, P0)
+    Pp = static_pack_mat(P0, K, n_st)
+    o2 = jax.jit(lambda c, P: energy_xl(
+        const, tables, cfg, species, c, P, packed_io=True))(coords, Pp)
+    np.testing.assert_allclose(np.asarray(o2.Hf), np.asarray(o1.Hf),
+                               atol=1e-10)
+    np.testing.assert_allclose(np.asarray(o2.Eelec), np.asarray(o1.Eelec),
+                               atol=1e-10)
+    D2 = static_unpack_mat(o2.D, K, A)
+    np.testing.assert_allclose(np.asarray(D2), np.asarray(o1.D), atol=1e-12)
+
+    f1, hf1, _ = jax.jit(lambda c, P: force_xl(
+        const, tables, cfg, species, c, P))(coords, P0)
+    f2, hf2, _ = jax.jit(lambda c, P: force_xl(
+        const, tables, cfg, species, c, P, packed_io=True))(coords, Pp)
+    np.testing.assert_allclose(np.asarray(f2), np.asarray(f1), atol=1e-10)
+
+    # eigh fallback through the packed route
+    cfg_e = dataclasses.replace(
+        cfg, scf=dataclasses.replace(cfg.scf, use_sp2=False))
+    o3 = jax.jit(lambda c, P: energy_xl(
+        const, tables, cfg_e, species, c, P, packed_io=True))(coords, Pp)
+    np.testing.assert_allclose(np.asarray(o3.Hf), np.asarray(o1.Hf),
+                               atol=1e-7)
