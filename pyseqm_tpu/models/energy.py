@@ -45,8 +45,10 @@ class SEQMConfig:
     # passes on the MXU and restores CPU-f32-level accuracy.
     matmul_precision: str = "highest"
     # grid-resident two-electron integrals (scatter-free Fock builds).
-    # None = auto: on for large molecules where the flat pair list's
-    # scatter/gather ops dominate the Fock cost.
+    # None = auto: on whenever the class-segmented packed layout is
+    # available (scf.pack_heavy + pack_pairs — the fully-packed chain
+    # beats the flat pair list at every measured size), and for large
+    # molecules (A >= 64) regardless.
     dense_pair_grid: Optional[bool] = None
     # double-float STO overlap integrals on f32 (ops/overlap.py): matches
     # the reference's f64 A/B-integral numerics to ~1e-8 absolute; the
@@ -134,16 +136,23 @@ def _orbital_charges(sys: System, v: jnp.ndarray) -> jnp.ndarray:
 def _resolve_pair_layout(cfg: SEQMConfig, A: int):
     """(dense, packK): the integral layout decision, shared with
     make_system so the pair enumeration and the hcore builder agree."""
-    dense = cfg.dense_pair_grid
-    if dense is None:
-        dense = A >= 64
     pp = cfg.pack_pairs
     if pp is None:
         pp = cfg.scf.pack_heavy is not None
     if pp and cfg.scf.pack_heavy is None:
         raise ValueError("pack_pairs=True requires scf.pack_heavy "
                          "(= pyseqm_tpu.packed_heavy_count(species))")
-    return dense, (cfg.scf.pack_heavy if pp else None)
+    packK = cfg.scf.pack_heavy if pp else None
+    dense = cfg.dense_pair_grid
+    if dense is None:
+        # class-segmented dense + pack_heavy enables the fully-packed
+        # electronic chain (fock_packed_split / XL packed_io) — measured
+        # faster than the flat pair list at EVERY size once packing is
+        # on (headline 10240 x 8-atom: 76.3 -> 127.5 XL steps/s; the
+        # scatter/relayout cost it deletes exceeds the ~2x dense-grid
+        # integral FLOPs).  Without packing, dense only wins at large A.
+        dense = A >= 64 or packK is not None
+    return dense, packK
 
 
 def _integral_stack(const, sys, p, Kbeta, cfg, packed_m=None):
