@@ -274,17 +274,43 @@ def energy(
 
 def _energy_impl(const, tables, cfg, species, coordinates, learned, P0,
                  charges):
-    _, packK = _resolve_pair_layout(cfg, species.shape[1])
+    A = species.shape[1]
+    dense, packK = _resolve_pair_layout(cfg, A)
     sys = make_system(const, species, coordinates, charges,
                       cfg.pair_outer_cutoff, heavy_count=packK)
     p = _atom_parameters(tables, cfg.method, sys, learned, coordinates)
     Kbeta = p.pop("Kbeta", None)
     g_ss_nuc = p.pop("g_ss_nuc", None)
 
-    M, w, w_f = _integral_stack(const, sys, p, Kbeta, cfg)
-    P, notconverged = scf_solve(const, sys, M, w, p, cfg.scf, P0)
-    F = fock(sys, P, M, w_f, p)
-    H = grid_to_mat(M)
+    # fully-packed SCF (class-segmented dense integrals): the entire
+    # fixed point — Fock builds, density solves, DIIS buffers — runs at
+    # the static packed size with zero per-iteration relayouts (the flat
+    # loop pays a (nmol,4A,4A) <-> block-grid roundtrip per Fock plus a
+    # pack/unpack per density solve; see scf.py scf_solve packed).
+    packed = None
+    if dense and packK is not None:
+        from ..ops.density import packed_solver_size
+        n_st = packed_solver_size(packK, A)
+        if n_st is not None:
+            packed = (packK, n_st)
+    if packed is not None:
+        from ..ops.density import static_unpack_mat
+        from ..ops.fock import fock_packed_split
+        M, w, _ = _integral_stack(const, sys, p, Kbeta, cfg,
+                                  packed_m=packed[1])
+        Pp, notconverged = scf_solve(const, sys, M, w, p, cfg.scf, P0,
+                                     packed=packed)
+        Fp = fock_packed_split(sys, Pp, M, w, p, packed[0], packed[1])
+        eel_tf = elec_energy_tf(Pp, Fp, M)
+        P = static_unpack_mat(Pp, packed[0], A)
+        F = static_unpack_mat(Fp, packed[0], A)
+        H = static_unpack_mat(M, packed[0], A)
+    else:
+        M, w, w_f = _integral_stack(const, sys, p, Kbeta, cfg)
+        P, notconverged = scf_solve(const, sys, M, w, p, cfg.scf, P0)
+        F = fock(sys, P, M, w_f, p)
+        H = grid_to_mat(M)
+        eel_tf = elec_energy_tf(P, F, H)
 
     gam = None
     if g_ss_nuc is not None:
@@ -300,7 +326,7 @@ def _energy_impl(const, tables, cfg, species, coordinates, learned, P0,
     Eiso = elec_energy_isolated_atom(const, sys.species, p)
     # compensated assembly: Hf is a ~2 eV difference of ~1e3 eV terms
     Hf, Etot, Eel, Enuc, Eiso_sum = assemble_energies(
-        const, sys, elec_energy_tf(P, F, H), EnucAB, Eiso, cfg.hf_flag,
+        const, sys, eel_tf, EnucAB, Eiso, cfg.hf_flag,
         pair_mask=enuc_mask)
 
     e = charge = None

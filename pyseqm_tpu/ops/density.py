@@ -207,7 +207,7 @@ def _unpack_embed(Pp, n):
 
 def sym_eig(sys: System, F: jnp.ndarray, eig_only: bool = False,
             check_degeneracy: bool = False, pack_n: int = None,
-            pack_heavy: int = None):
+            pack_heavy: int = None, prepacked: bool = False):
     """Batched eigendecomposition of the Fock matrix.
 
     Returns (e, P, v): orbital energies (nmol, 4A) zero-padded after norb,
@@ -216,6 +216,11 @@ def sym_eig(sys: System, F: jnp.ndarray, eig_only: bool = False,
     (compact pack_n rows/cols when pack_n is set), or the static compact
     layout when pack_heavy is set (gather-free; see static_pack_mat).
     Density-only callers use P; v consumers must not set pack_heavy.
+
+    ``prepacked``: F is ALREADY in the static packed layout at
+    packed_solver_size(pack_heavy, A) (e.g. from fock_packed_split);
+    the returned P (and e, at length n_st) stays packed — no relayouts
+    at either boundary (the packed SCF loop's eigh path).
     """
     # materialize F once: the prep consumes it several times (permute,
     # Gershgorin, padding fill) and XLA otherwise re-fuses the producer
@@ -225,7 +230,15 @@ def sym_eig(sys: System, F: jnp.ndarray, eig_only: bool = False,
     n = F.shape[-1]
     A = sys.species.shape[1]
     n_st = None
-    if pack_heavy is not None:
+    if prepacked:
+        if pack_heavy is None:
+            raise ValueError("prepacked=True requires pack_heavy")
+        n_st = packed_solver_size(pack_heavy, A)
+        if n_st is None or n != n_st:
+            raise ValueError(
+                f"prepacked F has n={n}, expected "
+                f"packed_solver_size={packed_solver_size(pack_heavy, A)}")
+    elif pack_heavy is not None:
         n_st = static_pack_size(pack_heavy, A, multiple=16)
         if n_st > 128:
             n_st = static_pack_size(pack_heavy, A, multiple=128)
@@ -233,9 +246,12 @@ def sym_eig(sys: System, F: jnp.ndarray, eig_only: bool = False,
             n_st = None
     if n_st is not None:
         mfull = orbital_mask(sys).astype(F.dtype)
-        Fp = static_pack_mat(F * (mfull[:, :, None] * mfull[:, None, :]),
-                             pack_heavy, n_st)
         mk = static_pack_vec(mfull, pack_heavy, n_st)
+        if prepacked:
+            Fp = F * (mk[:, :, None] * mk[:, None, :])
+        else:
+            Fp = static_pack_mat(F * (mfull[:, :, None] * mfull[:, None, :]),
+                                 pack_heavy, n_st)
         h1, hN = _gershgorin(Fp)
         # dead rows (interior p-rows of lighter molecules + tail padding)
         # get distinct above-spectrum diagonal values (cf. diag.py:120-130)
@@ -246,9 +262,13 @@ def sym_eig(sys: System, F: jnp.ndarray, eig_only: bool = False,
                          jnp.diagonal(Fp, axis1=-2, axis2=-1))
         Fp = Fp.at[:, idxs, idxs].set(diag)
 
-        def unpack(a):
-            # caller masks padding rows/cols right after
-            return static_unpack_mat(a, pack_heavy, A)
+        if prepacked:
+            def unpack(a):
+                return a
+        else:
+            def unpack(a):
+                # caller masks padding rows/cols right after
+                return static_unpack_mat(a, pack_heavy, A)
     else:
         perm, inv = orbital_permutation(sys)
         Fp = permute_mat(F, perm)
@@ -278,7 +298,11 @@ def sym_eig(sys: System, F: jnp.ndarray, eig_only: bool = False,
     occ = _occupations(e0, sys.nocc, F.dtype, check_degeneracy)
     Pp = 2.0 * jnp.einsum('nik,nk,njk->nij', v, occ, v)
     P = unpack(Pp)
-    m = orbital_mask(sys).astype(F.dtype)
+    if prepacked:
+        m = static_pack_vec(orbital_mask(sys).astype(F.dtype),
+                            pack_heavy, n_st)
+    else:
+        m = orbital_mask(sys).astype(F.dtype)
     P = P * m[:, :, None] * m[:, None, :]
     return e, P, v
 

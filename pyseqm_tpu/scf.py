@@ -148,7 +148,19 @@ def init_density(const: Constants, sys: System) -> jnp.ndarray:
     return grid_to_mat(g)
 
 
-def _make_density(sys: System, cfg: SCFConfig, differentiable: bool):
+def _make_density(sys: System, cfg: SCFConfig, differentiable: bool,
+                  packed: Optional[Tuple[int, int]] = None):
+    if packed is not None:
+        # fully-packed SCF: F arrives in the static packed layout and P
+        # stays there — no per-iteration relayouts (see scf_solve packed)
+        K, _ = packed
+        if cfg.use_sp2 and not differentiable:
+            return lambda F: sp2(sys, F, cfg.sp2_eps, cfg.sp2_precision,
+                                 cfg.sp2_dots, cfg.sp2_tight_bounds,
+                                 pack_heavy=K, prepacked=True)
+        return lambda F: sym_eig(sys, F,
+                                 check_degeneracy=cfg.check_degeneracy,
+                                 pack_heavy=K, prepacked=True)[1]
     if cfg.use_sp2 and not differentiable:
         return lambda F: sp2(sys, F, cfg.sp2_eps, cfg.sp2_precision,
                              cfg.sp2_dots, cfg.sp2_tight_bounds,
@@ -157,6 +169,21 @@ def _make_density(sys: System, cfg: SCFConfig, differentiable: bool):
     return lambda F: sym_eig(sys, F, check_degeneracy=cfg.check_degeneracy,
                              pack_n=cfg.pack_orbitals,
                              pack_heavy=cfg.pack_heavy)[1]
+
+
+def _layout_fock(sys: System, packed: Optional[Tuple[int, int]]):
+    """(fock_of, H_of): the Fock builder + core-Hamiltonian view for the
+    run layout.  ``packed=(K, n_st)`` selects the fully-packed chain
+    (ops/fock.py fock_packed_split); M is then the packed core MATRIX
+    from hcore_dense_split(packed_m=n_st), not the (nmol,A,A,4,4) grid,
+    and every SCF iterate (P, F, H, DIIS buffers) lives at n_st."""
+    if packed is None:
+        return (lambda M, w, p, P: fock(sys, P, M, w, p),
+                lambda M: grid_to_mat(M))
+    K, n_st = packed
+    from .ops.fock import fock_packed_split
+    return (lambda M, w, p, P: fock_packed_split(sys, P, M, w, p, K, n_st),
+            lambda M: M)
 
 
 class _State(NamedTuple):
@@ -207,19 +234,26 @@ def scf_iterate(
     P0: jnp.ndarray,
     cfg: SCFConfig,
     differentiable: bool = False,
+    packed: Optional[Tuple[int, int]] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Run the fixed-point iteration; returns (Pconv, notconverged).
 
     ``differentiable=False`` uses a while_loop (forward-only);
     ``differentiable=True`` uses a fixed-length scan that reverse-mode AD
     can unroll (backward mode 2).
+
+    ``packed=(K, n_st)``: the whole loop runs in the static packed
+    layout — M is the packed core matrix, P0/P/F/DIIS buffers are
+    (nmol, n_st, n_st), and the density solvers run prepacked (zero
+    per-iteration relayouts; see scf_solve).
     """
-    density = _make_density(sys, cfg, differentiable)
-    H = grid_to_mat(M)
+    density = _make_density(sys, cfg, differentiable, packed)
+    fock_of, H_of = _layout_fock(sys, packed)
+    H = H_of(M)
     conv = cfg.converger[0]
     alpha = cfg.converger[1] if conv == 0 else 0.0
 
-    F1 = fock(sys, P0, M, w, p)
+    F1 = fock_of(M, w, p, P0)
     E1 = _elec_energy(P0, F1, H)
     nmol = P0.shape[0]
     dtype = P0.dtype
@@ -252,7 +286,7 @@ def scf_iterate(
         ncm = nc[:, None, None]
         P = jnp.where(ncm, P, st.P)
         Pold = jnp.where(ncm, Pold, st.Pold)
-        F = fock(sys, P, M, w, p)
+        F = fock_of(M, w, p, P)
         Enew = _elec_energy(P, F, H)
         err = jnp.where(nc, jnp.abs(Enew - st.Eelec), st.err)
         Eelec = jnp.where(nc, Enew, st.Eelec)
@@ -328,7 +362,7 @@ def scf_iterate(
         Pnew = density(Fd)
         ncm = nc[:, None, None]
         P = jnp.where(ncm, Pnew, st.P)
-        F = fock(sys, P, M, w, p)
+        F = fock_of(M, w, p, P)
         st2 = st._replace(P=P, F=jnp.where(ncm, F, st.F))
         cfock, counter, FOCK, FPPF, EMAT = _record(st2, st2.F, st2.P)
         Enew = _elec_energy(st2.P, st2.F, H)
@@ -408,25 +442,32 @@ def _zero_cotangent(tree):
     return jax.tree_util.tree_map(_float0_zeros, tree)
 
 
-def make_scf_apply(cfg: SCFConfig):
+def make_scf_apply(cfg: SCFConfig, packed: Optional[Tuple[int, int]] = None):
     """SCF solve with the recursive-adjoint VJP (backward mode 1)."""
 
     @jax.custom_vjp
     def scf_apply(sys, M, w, pscf, P0):
-        return scf_iterate(sys, M, w, pscf, P0, cfg)
+        return scf_iterate(sys, M, w, pscf, P0, cfg, packed=packed)
 
     def fwd(sys, M, w, pscf, P0):
-        P, notconverged = scf_iterate(sys, M, w, pscf, P0, cfg)
+        P, notconverged = scf_iterate(sys, M, w, pscf, P0, cfg,
+                                      packed=packed)
         return (P, notconverged), (sys, M, w, pscf, P, notconverged)
 
     def bwd(res, ct):
         sys, M, w, pscf, Pconv, notconverged = res
         gP0, _ = ct
+        fock_of, _ = _layout_fock(sys, packed)
 
-        def step(P, M, w, pscf):
-            return sym_eig(sys, fock(sys, P, M, w, pscf),
-                           pack_n=cfg.pack_orbitals,
-                           pack_heavy=cfg.pack_heavy)[1]
+        if packed is not None:
+            def step(P, M, w, pscf):
+                return sym_eig(sys, fock_of(M, w, pscf, P),
+                               pack_heavy=packed[0], prepacked=True)[1]
+        else:
+            def step(P, M, w, pscf):
+                return sym_eig(sys, fock_of(M, w, pscf, P),
+                               pack_n=cfg.pack_orbitals,
+                               pack_heavy=cfg.pack_heavy)[1]
 
         _, vjp = jax.vjp(step, Pconv, M, w, pscf)
         converged = ~notconverged
@@ -482,16 +523,26 @@ def scf_solve(
     p: Dict[str, jnp.ndarray],
     cfg: SCFConfig,
     P0: Optional[jnp.ndarray] = None,
+    packed: Optional[Tuple[int, int]] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Top-level SCF dispatch on cfg.backward (cf. scf_loop, scf_loop.py:671).
 
     Returns (Pconv, notconverged).  Mode 0 returns a stop_gradient'ed
     density (Hellmann-Feynman forces); mode 1 attaches the adjoint VJP;
     mode 2 is differentiable by unrolling.
+
+    ``packed=(K, n_st)`` runs the ENTIRE fixed point in the static packed
+    layout: M must be the packed core matrix (hcore_dense_split
+    packed_m=n_st), w the class-segmented grid integrals, and the
+    returned Pconv is (nmol, n_st, n_st) — the caller unpacks once at
+    the end (models/energy.py).  P0 may be given in either layout.
     """
     pscf = {k: p[k] for k in SCF_PARAM_NAMES}
     if P0 is None or cfg.backward == 2:
         P0 = init_density(const, sys)
+    if packed is not None and P0.shape[-1] != packed[1]:
+        from .ops.density import static_pack_mat
+        P0 = static_pack_mat(P0, packed[0], packed[1])
 
     def policy(result):
         P, nc = result
@@ -505,12 +556,13 @@ def scf_solve(
         # this also keeps non-differentiable kernels like Pallas SP2 out
         # of AD tracing)
         M0, w0, p0, Pi0 = jax.lax.stop_gradient((M, w, pscf, P0))
-        P, nc = scf_iterate(sys, M0, w0, p0, Pi0, cfg)
+        P, nc = scf_iterate(sys, M0, w0, p0, Pi0, cfg, packed=packed)
         return policy((jax.lax.stop_gradient(P), nc))
     if cfg.backward == 1:
-        return policy(make_scf_apply(cfg)(sys, M, w, pscf, P0))
+        return policy(make_scf_apply(cfg, packed)(sys, M, w, pscf, P0))
     if cfg.backward == 2:
         if cfg.converger[0] not in (0, 1):
             raise ValueError("backward mode 2 requires converger (0, alpha) or (1,)")
-        return policy(scf_iterate(sys, M, w, pscf, P0, cfg, differentiable=True))
+        return policy(scf_iterate(sys, M, w, pscf, P0, cfg,
+                                  differentiable=True, packed=packed))
     raise ValueError(f"unknown backward mode {cfg.backward}")

@@ -10,6 +10,12 @@ shape-agnostic (lists of slabs), so only the boundary slicing differs.
 Times the XX-block coulomb + exchange contraction (the fock hot core)
 from a converged P, including the P relayout both variants pay.
 Run on the TPU host: python tools/dense_layout_probe.py
+
+MEASURED 2026-08-19 (884-atom alkane, K=294): REFUTED.  (K,K,4,4)
+layout 7.48 ms, channel-first 28.01 ms — the 16 P-slabs + 22 ri-slabs
+of separate (K,K) ops cost ~4x more HBM passes than the minor-(4,4)
+tile underutilization.  Also bounds the XX contraction at 7.5 of the
+24 ms nanostar fock_fwd: the rest is XH/HH blocks + grid assembly.
 """
 import os
 import sys
