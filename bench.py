@@ -258,45 +258,61 @@ def bench_opt(nmol=2048, max_evl=60, sd=False):
     species = jnp.asarray(sp)
     coords = jnp.asarray(co, dtype=jnp.float32)
     if sd:
-        # warmup/compile, then time a fixed number of SD force evals
-        geometry_optimize_sd(const, tables, cfg, species, coords,
-                             alpha=0.004, force_tol=0.0, max_evl=1)
+        # scan-chunked SD (one dispatch per `chunk` force evals; the
+        # per-eval host loop paid ~26 ms tunnel latency + scheduling
+        # noise per eval).  force_tol=0 => exactly max_evl evals run.
+        from pyseqm_tpu.drivers.opt import _make_sd_chunk
+        from pyseqm_tpu.scf import init_density
+        from pyseqm_tpu.system import make_system
+        chunk = 20
+        run = _make_sd_chunk(const, tables, cfg, species, 0.004, 0.0,
+                             chunk, None)
+        P0 = init_density(const, make_system(const, species, coords))
+        z = jnp.zeros((), bool), jnp.zeros((), jnp.int32), \
+            jnp.zeros((), coords.dtype)
+        jax.block_until_ready(run(coords, P0, *z, True))   # compile
+        x, P, done, nit, Lp = coords, P0, *z
+        first = True
         t0 = time.perf_counter()
-        x, ferr, _ = geometry_optimize_sd(const, tables, cfg, species,
-                                          coords, alpha=0.004,
-                                          force_tol=0.0, max_evl=max_evl)
+        for _ in range(max_evl // chunk):
+            x, P, done, nit, Lp, ferr, dE = run(x, P, done, nit, Lp, first)
+            first = False
+        jax.block_until_ready(x)
         dt = time.perf_counter() - t0
         print(json.dumps({"final_max_force": float(ferr),
-                          "evals": max_evl, "wall_s": round(dt, 2)}),
+                          "evals": int(nit), "wall_s": round(dt, 2)}),
               file=sys.stderr)
-        return nmol * max_evl / dt
-    # build the stepper ONCE (warmup and timed runs share one jit program:
-    # a second wrapper would re-lower + re-compile the linesearch+SCF
-    # while_loop nest — the round-3 battery's "opt compile hang")
-    from pyseqm_tpu.drivers.opt import make_lbfgs
+        return nmol * int(nit) / dt
+    # scan-chunked L-BFGS (the stepper is built ONCE: a second jit
+    # wrapper would re-lower + re-compile the linesearch+SCF while_loop
+    # nest — the round-3 battery's "opt compile hang"); the convergence
+    # test runs on-device so the host syncs once per chunk, not per
+    # iteration (the old loop's 1.9-2.5k session variance was host noise)
+    from pyseqm_tpu.drivers.opt import make_lbfgs_chunk
     import jax
-    init, step = make_lbfgs(const, tables, cfg, species)
+    chunk = 10
+    init, run = make_lbfgs_chunk(const, tables, cfg, species, chunk=chunk,
+                                 force_tol=1.0e-3)
     t0 = time.perf_counter()
     state = init(coords)
-    jax.block_until_ready(step(coords, state))           # compile + 1 step
-    print(json.dumps({"compile_plus_first_step_s":
+    done = jnp.zeros((), bool)
+    nit = jnp.zeros((), jnp.int32)
+    jax.block_until_ready(run(coords, state, done, nit))   # compile
+    print(json.dumps({"compile_plus_first_chunk_s":
                       round(time.perf_counter() - t0, 1)}), file=sys.stderr)
     state = init(coords)
     x = coords
     ferr = float("inf")
-    iters = 0
     t0 = time.perf_counter()
-    for i in range(max_evl):
-        xn, state, value, ferr = step(x, state)
-        iters = i + 1
-        if float(ferr) <= 1.0e-3:
+    for _ in range(-(-max_evl // chunk)):
+        x, state, done, nit, value, ferr = run(x, state, done, nit)
+        if bool(done):
             break
-        x = xn
     dt = time.perf_counter() - t0
     print(json.dumps({"final_max_force": float(ferr),
-                      "iters": iters, "wall_s": round(dt, 2)}),
+                      "iters": int(nit), "wall_s": round(dt, 2)}),
           file=sys.stderr)
-    return nmol * iters / dt
+    return nmol * int(nit) / dt
 
 
 def bench_nanostar(n_carbons=294, repeats=3):

@@ -26,14 +26,37 @@ def _force_fn(const, tables, cfg, species, learned):
 def geometry_optimize_sd(
     const: Constants, tables, cfg: SEQMConfig, species, coordinates,
     alpha: float = 0.01, force_tol: float = 1.0e-4, max_evl: int = 1000,
-    learned=None, log: bool = False,
+    learned=None, log: bool = False, chunk: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Fixed-step steepest descent; returns (coords, max|F|, dE)."""
+    """Fixed-step steepest descent; returns (coords, max|F|, dE).
+
+    ``chunk > 0`` runs `chunk` force evaluations per dispatch inside a
+    ``lax.scan`` (converged batches freeze in place) and syncs the host
+    once per chunk instead of once per evaluation — on the tunneled TPU
+    a per-evaluation sync costs ~26 ms plus host scheduling noise.
+    """
     from ..scf import init_density
     from ..system import make_system
 
-    f = _force_fn(const, tables, cfg, species, learned)
     P = init_density(const, make_system(const, species, coordinates))
+    if chunk > 0:
+        run = _make_sd_chunk(const, tables, cfg, species, alpha, force_tol,
+                             chunk, learned)
+        done = jnp.zeros((), bool)
+        nit = jnp.zeros((), jnp.int32)
+        Lprev = jnp.zeros((), coordinates.dtype)
+        ferr = eerr = float("inf")
+        for c in range(-(-max_evl // chunk)):
+            coordinates, P, done, nit, Lprev, ferr_d, dE = run(
+                coordinates, P, done, nit, Lprev, c == 0)
+            ferr, eerr = float(ferr_d), float(dE)
+            if log:
+                print(f"{int(nit)} {ferr:e} {eerr:e}")
+            if bool(done):
+                break
+        return coordinates, jnp.asarray(ferr), jnp.asarray(eerr)
+
+    f = _force_fn(const, tables, cfg, species, learned)
     Lold = None
     ferr = eerr = float("inf")
     for i in range(max_evl):
@@ -47,6 +70,35 @@ def geometry_optimize_sd(
         if ferr <= force_tol:
             break
     return coordinates, jnp.asarray(ferr), jnp.asarray(eerr)
+
+
+def _make_sd_chunk(const, tables, cfg, species, alpha, force_tol, chunk,
+                   learned):
+    """One jitted SD chunk: scan `chunk` force+step iterations, freezing
+    the whole batch once max|F| <= force_tol (per-molecule freeze would
+    save nothing: batched programs run to their slowest member)."""
+
+    @jax.jit
+    def run(coords, P, done, nit, Lprev, first):
+        def body(carry, _):
+            coords, P, done, nit, Lprev, first = carry
+            frc, out = force(const, tables, cfg, species, coords,
+                             learned=learned, P0=P)
+            ferr = jnp.max(jnp.abs(frc))
+            Lmean = jnp.sum(out.Hf) / out.Hf.shape[0]
+            dE = jnp.where(first, jnp.inf, Lmean - Lprev)
+            stop = done | (ferr <= force_tol)
+            coords = jnp.where(done, coords, coords + alpha * frc)
+            P = jnp.where(done, P, out.P)
+            nit = nit + (~done)
+            return (coords, P, stop, nit, Lmean, jnp.zeros((), bool)), \
+                (ferr, dE)
+        (coords, P, done, nit, Lprev, _), (ferrs, dEs) = jax.lax.scan(
+            body, (coords, P, done, nit, Lprev,
+                   jnp.asarray(first)), length=chunk)
+        return coords, P, done, nit, Lprev, ferrs[-1], dEs[-1]
+
+    return run
 
 
 def geometry_optimize_sd_ls(
@@ -134,13 +186,97 @@ def make_lbfgs(const: Constants, tables, cfg: SEQMConfig, species,
     return opt.init, step
 
 
+def make_lbfgs_chunk(const: Constants, tables, cfg: SEQMConfig, species,
+                     chunk: int, force_tol: float = 0.0, learned=None,
+                     linesearch: str = "zoom",
+                     max_linesearch_steps: int = 15):
+    """Scan-chunked L-BFGS: `chunk` outer iterations per dispatch.
+
+    The per-iteration host loop (:func:`make_lbfgs`) syncs max|grad| to
+    Python every step — ~26 ms of tunnel latency plus host-scheduling
+    noise per iteration on the TPU (the round-3 battery's 1.9-2.5k
+    session variance).  Here the convergence test runs on-device: once
+    max|grad| <= force_tol the remaining scan iterations freeze the
+    carry in place (batched programs run to their slowest member, so a
+    per-molecule freeze would save nothing).
+
+    Returns (init_fn, run_fn); run_fn(coords, state, done, nit) ->
+    (coords, state, done, nit, value, max|grad|) with `nit` counting the
+    iterations that actually advanced.
+    """
+    import optax
+
+    amask = (species > 0)[..., None]
+
+    def val(coords):
+        out = energy(const, tables, cfg, species, coords, learned=learned)
+        return jnp.sum(out.Hf)
+
+    if linesearch == "backtracking":
+        opt = optax.lbfgs(linesearch=optax.scale_by_backtracking_linesearch(
+            max_backtracking_steps=max_linesearch_steps, store_grad=True))
+    elif linesearch == "none":
+        opt = optax.lbfgs(learning_rate=1.0, linesearch=None)
+    else:
+        opt = optax.lbfgs()
+
+    def freeze(stop, new, old):
+        return jax.tree_util.tree_map(
+            lambda a, b: jnp.where(stop, b, a), new, old)
+
+    @jax.jit
+    def run(coords, state, done, nit):
+        def body(carry, _):
+            coords, state, done, nit = carry
+            value, grads = jax.value_and_grad(val)(coords)
+            grads = jnp.where(amask, grads, 0.0)
+            updates, new_state = opt.update(grads, state, coords,
+                                            value=value, grad=grads,
+                                            value_fn=val)
+            new_coords = optax.apply_updates(coords, updates)
+            ferr = jnp.max(jnp.abs(grads))
+            # mirror the host loop: the iteration that detects
+            # convergence still counts but does not move the geometry
+            stop = done | (ferr <= force_tol)
+            coords = jnp.where(stop, coords, new_coords)
+            state = freeze(stop, new_state, state)
+            nit = nit + (~done)
+            return (coords, state, stop, nit), (value, ferr)
+        (coords, state, done, nit), (values, ferrs) = jax.lax.scan(
+            body, (coords, state, done, nit), length=chunk)
+        return coords, state, done, nit, values[-1], ferrs[-1]
+
+    return opt.init, run
+
+
 def geometry_optimize_lbfgs(
     const: Constants, tables, cfg: SEQMConfig, species, coordinates,
     force_tol: float = 1.0e-4, max_evl: int = 300, learned=None,
-    log: bool = False, linesearch: str = "zoom",
+    log: bool = False, linesearch: str = "zoom", chunk: int = 0,
 ):
     """Batched L-BFGS via optax (the production path; the reference drives
-    scipy L-BFGS-B with its energy+grad predictor, examples/opt.py:63-79)."""
+    scipy L-BFGS-B with its energy+grad predictor, examples/opt.py:63-79).
+
+    ``chunk > 0`` scans `chunk` iterations per dispatch with an on-device
+    convergence freeze (see :func:`make_lbfgs_chunk`)."""
+    if chunk > 0:
+        init, run = make_lbfgs_chunk(const, tables, cfg, species,
+                                     chunk=chunk, force_tol=force_tol,
+                                     learned=learned, linesearch=linesearch)
+        state = init(coordinates)
+        done = jnp.zeros((), bool)
+        nit = jnp.zeros((), jnp.int32)
+        ferr = float("inf")
+        for c in range(-(-max_evl // chunk)):
+            coordinates, state, done, nit, value, ferr_d = run(
+                coordinates, state, done, nit)
+            ferr = float(ferr_d)
+            if log:
+                print(f"{int(nit)} {ferr:e} {float(value):e}")
+            if bool(done):
+                break
+        return coordinates, jnp.asarray(ferr), int(nit)
+
     init, step = make_lbfgs(const, tables, cfg, species, learned=learned,
                             linesearch=linesearch)
     state = init(coordinates)

@@ -161,3 +161,28 @@ def test_geometry_optimization(golden):
         const, tables, cfg, species, coords, alpha=0.003, force_tol=1e-2,
         max_evl=300)
     assert float(ferr) <= 1e-2
+
+
+def test_geometry_optimization_chunked_parity(golden):
+    """Scan-chunked SD / L-BFGS (one dispatch per chunk, on-device
+    convergence freeze) reproduce the per-iteration host loops exactly
+    at f64 — same trajectory, same iteration count."""
+    from pyseqm_tpu.drivers.opt import (geometry_optimize_lbfgs,
+                                        geometry_optimize_sd)
+    g, const, tables, cfg, species, coords = _setup(golden)
+    xa, fa, _ = geometry_optimize_sd(
+        const, tables, cfg, species, coords, alpha=0.004, force_tol=0.0,
+        max_evl=12)
+    xb, fb, _ = geometry_optimize_sd(
+        const, tables, cfg, species, coords, alpha=0.004, force_tol=0.0,
+        max_evl=12, chunk=4)
+    np.testing.assert_allclose(np.asarray(xb), np.asarray(xa), atol=1e-12)
+    np.testing.assert_allclose(float(fb), float(fa), atol=1e-12)
+
+    xl, fl, il = geometry_optimize_lbfgs(
+        const, tables, cfg, species, coords, force_tol=1e-5, max_evl=8)
+    xm, fm, im = geometry_optimize_lbfgs(
+        const, tables, cfg, species, coords, force_tol=1e-5, max_evl=8,
+        chunk=4)
+    assert il == im
+    np.testing.assert_allclose(np.asarray(xm), np.asarray(xl), atol=1e-10)
