@@ -331,8 +331,12 @@ def _energy_impl(const, tables, cfg, species, coordinates, learned, P0,
 
     e = charge = None
     if cfg.eig:
-        e, v = sym_eig(sys, F, eig_only=True)
+        # with_flag surfaces a silently-unconverged Jacobi panel (rescued
+        # to exact eigh inside sym_eig) in notconverged, mirroring the
+        # SCF convergence flag (reference scf_loop.py:753-762)
+        e, v, eig_failed = sym_eig(sys, F, eig_only=True, with_flag=True)
         charge = _orbital_charges(sys, v)
+        notconverged = notconverged | eig_failed
     return EnergyOutput(Hf, Etot, Eel, Enuc, Eiso_sum, EnucAB, e, P, charge,
                         notconverged, F=F, Hcore=H, w=w)
 

@@ -205,9 +205,40 @@ def _unpack_embed(Pp, n):
     return jnp.zeros((nmol, n, n), Pp.dtype).at[:, :np_, :np_].set(Pp)
 
 
+def rescue_unconverged_panels(Fp, e0, v, resid):
+    """Re-solve Jacobi panels that hit MAX_SWEEPS with exact eigh.
+
+    ``resid`` is eigh_batched_checked's per-molecule final-sweep residual;
+    resid > OFF_TOL marks a silently unconverged panel.  The exact branch
+    runs only when at least one molecule failed (lax.cond), so the common
+    case costs one reduction; the rescue itself is the full batched
+    jnp.linalg.eigh with a per-molecule select.  Returns
+    (e, v, failed_mask) — callers surface failed_mask like the SCF
+    notconverged flag (cf. reference diag.py:102-139, whose eigh is
+    always exact).
+    """
+    from . import eigh_pallas
+    bad = resid > eigh_pallas.OFF_TOL
+
+    def exact(ops):
+        Fp_, e_, v_, bad_ = ops
+        ex, vx = jnp.linalg.eigh(Fp_)
+        e_ = jnp.where(bad_[:, None], ex.astype(e_.dtype), e_)
+        v_ = jnp.where(bad_[:, None, None], vx.astype(v_.dtype), v_)
+        return e_, v_
+
+    def keep(ops):
+        _, e_, v_, _ = ops
+        return e_, v_
+
+    e0, v = jax.lax.cond(jnp.any(bad), exact, keep, (Fp, e0, v, bad))
+    return e0, v, bad
+
+
 def sym_eig(sys: System, F: jnp.ndarray, eig_only: bool = False,
             check_degeneracy: bool = False, pack_n: int = None,
-            pack_heavy: int = None, prepacked: bool = False):
+            pack_heavy: int = None, prepacked: bool = False,
+            with_flag: bool = False):
     """Batched eigendecomposition of the Fock matrix.
 
     Returns (e, P, v): orbital energies (nmol, 4A) zero-padded after norb,
@@ -283,17 +314,22 @@ def sym_eig(sys: System, F: jnp.ndarray, eig_only: bool = False,
     from . import eigh_pallas
     if eigh_pallas.supported(Fp.shape[-1], F.dtype):
         # batched one-sided Jacobi kernel: ~481 ms -> few-ms class at
-        # (10240, 32, 32); differentiable via its custom_jvp
-        e0, v = eigh_pallas.eigh_batched(Fp)
+        # (10240, 32, 32); differentiable via its custom_jvp.  Panels
+        # whose sweep hit MAX_SWEEPS are re-solved exactly — the
+        # reference's eigh (diag.py:102-139) cannot silently fail, so
+        # neither may this path.
+        e0, v, resid = eigh_pallas.eigh_batched_checked(Fp)
+        e0, v, eig_failed = rescue_unconverged_panels(Fp, e0, v, resid)
     else:
         e0, v = jnp.linalg.eigh(Fp)
+        eig_failed = jnp.zeros((F.shape[0],), bool)
     ne = e0.shape[-1]
     idx = jnp.arange(ne)
     e = jnp.where(idx[None, :] < sys.norb[:, None], e0, 0.0)
     if ne < n:
         e = jnp.zeros((F.shape[0], n), e.dtype).at[:, :ne].set(e)
     if eig_only:
-        return e, v
+        return (e, v, eig_failed) if with_flag else (e, v)
 
     occ = _occupations(e0, sys.nocc, F.dtype, check_degeneracy)
     Pp = 2.0 * jnp.einsum('nik,nk,njk->nij', v, occ, v)
@@ -304,7 +340,7 @@ def sym_eig(sys: System, F: jnp.ndarray, eig_only: bool = False,
     else:
         m = orbital_mask(sys).astype(F.dtype)
     P = P * m[:, :, None] * m[:, None, :]
-    return e, P, v
+    return (e, P, v, eig_failed) if with_flag else (e, P, v)
 
 
 def _subset_system(sys: System, idx: jnp.ndarray) -> System:

@@ -272,13 +272,41 @@ def _eigh_batched_jvp(primals, tangents):
     (A,) = primals
     (dA,) = tangents
     e, v = eigh_batched(A)
+    de, dv = _perturbation_jvp(e, v, dA)
+    return (e, v), (de, dv)
+
+
+def _perturbation_jvp(e, v, dA):
+    """First-order eigh perturbation tangents from primal outputs."""
     dA = 0.5 * (dA + jnp.swapaxes(dA, -1, -2))
     M = jnp.einsum('bji,bjk,bkl->bil', v, dA, v)
     de = jnp.diagonal(M, axis1=-2, axis2=-1)
     diff = e[:, None, :] - e[:, :, None]          # e_j - e_i at (i, j)
-    n = A.shape[-1]
+    n = e.shape[-1]
     offd = ~jnp.eye(n, dtype=bool)
     F = jnp.where(offd & (jnp.abs(diff) > 1e-20),
                   1.0 / jnp.where(jnp.abs(diff) > 1e-20, diff, 1.0), 0.0)
     dv = jnp.einsum('bik,bkj->bij', v, F * M)
-    return (e, v), (de, dv)
+    return de, dv
+
+
+@jax.custom_jvp
+def eigh_batched_checked(A: jnp.ndarray):
+    """eigh_batched + the per-molecule convergence residual.
+
+    Returns (e, v, resid); resid > OFF_TOL means that molecule's Jacobi
+    sweep silently hit MAX_SWEEPS without converging (the reference's
+    torch.linalg.eigh, diag.py:102-139, cannot fail this way — callers
+    must rescue or flag; see ops/density.py sym_eig).  resid carries a
+    zero tangent (a diagnostic, not a differentiable quantity).
+    """
+    return eigh_tpu(A, with_resid=True)
+
+
+@eigh_batched_checked.defjvp
+def _eigh_batched_checked_jvp(primals, tangents):
+    (A,) = primals
+    (dA,) = tangents
+    e, v, resid = eigh_batched_checked(A)
+    de, dv = _perturbation_jvp(e, v, dA)
+    return (e, v, resid), (de, dv, jnp.zeros_like(resid))
