@@ -225,30 +225,42 @@ class MolecularDynamics:
     # -- initialization ------------------------------------------------
     def initialize(self, species, coordinates, velocities=None, key=None,
                    Temp=300.0) -> MDState:
+        """Build the initial MDState (velocities, bootstrap SCF force).
+
+        Runs as ONE jitted program: eager dispatch costs ~0.5 s/op
+        through the remote-TPU tunnel, which made the bootstrap SCF take
+        ~10 minutes at 512 molecules (the r3 bomd-bench 50-min timeout
+        was entirely this)."""
         key = key if key is not None else jax.random.PRNGKey(0)
-        k1, k2 = jax.random.split(key)
+        have_vel = velocities is not None
+
+        def _init(coordinates, velocities, key):
+            k1, k2 = jax.random.split(key)
+            if not have_vel:
+                velocities = initialize_velocity(self.const, species,
+                                                 coordinates, k1, Temp)
+            nmol = species.shape[0]
+            from ..scf import init_density
+            from ..system import make_system
+            sys = make_system(self.const, species, coordinates)
+            st = MDState(
+                coordinates=coordinates, velocities=velocities,
+                acc=jnp.zeros_like(coordinates),
+                # first force evaluation (SCF from scratch) fills acc and P
+                P=init_density(self.const, sys),
+                E0=jnp.zeros(nmol, coordinates.dtype),
+                key=k2, step=jnp.asarray(0),
+            )
+            force, P, Epot = self.compute_force(species, st)
+            mass = atom_masses(self.const, species)
+            Ek, _ = kinetic_energy(self.const, species, velocities)
+            return dataclasses.replace(
+                st, acc=force / mass * ACC_SCALE, P=jax.lax.stop_gradient(P),
+                E0=Epot + Ek)
+
         if velocities is None:
-            velocities = initialize_velocity(self.const, species, coordinates,
-                                             k1, Temp)
-        nmol = species.shape[0]
-        st = MDState(
-            coordinates=coordinates, velocities=velocities,
-            acc=jnp.zeros_like(coordinates),
-            P=jnp.zeros(0),  # placeholder; replaced below
-            E0=jnp.zeros(nmol, coordinates.dtype),
-            key=k2, step=jnp.asarray(0),
-        )
-        # first force evaluation (SCF from scratch) fills acc and P
-        from ..scf import init_density
-        from ..system import make_system
-        sys = make_system(self.const, species, coordinates)
-        st = dataclasses.replace(st, P=init_density(self.const, sys))
-        force, P, Epot = self.compute_force(species, st)
-        mass = atom_masses(self.const, species)
-        Ek, _ = kinetic_energy(self.const, species, velocities)
-        return dataclasses.replace(
-            st, acc=force / mass * ACC_SCALE, P=jax.lax.stop_gradient(P),
-            E0=Epot + Ek)
+            velocities = jnp.zeros_like(coordinates)
+        return jax.jit(_init)(coordinates, velocities, key)
 
     # -- scan-compiled execution ---------------------------------------
     def _build_chunk(self, species, nsteps: int):

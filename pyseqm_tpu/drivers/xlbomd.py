@@ -127,20 +127,28 @@ class XLBOMD(MolecularDynamics):
             st = super().initialize(species, coordinates, velocities, key, Temp)
         else:
             from ..models.energy import energy
+            from .md import MDState, initialize_velocity, kinetic_energy
             key = key if key is not None else jax.random.PRNGKey(0)
-            k1, k2 = jax.random.split(key)
+            have_vel = velocities is not None
+
+            def _boot(coordinates, velocities, key):
+                # one jitted program — eager dispatch through the remote
+                # tunnel costs ~0.5 s/op (see MolecularDynamics.initialize)
+                k1, k2 = jax.random.split(key)
+                if not have_vel:
+                    velocities = initialize_velocity(
+                        self.const, species, coordinates, k1, Temp)
+                out = energy(self.const, self.tables, self.seqm_cfg, species,
+                             coordinates, learned=self.learned)
+                Ek, _ = kinetic_energy(self.const, species, velocities)
+                return MDState(coordinates=coordinates, velocities=velocities,
+                               acc=jnp.zeros_like(coordinates),
+                               P=jax.lax.stop_gradient(out.P),
+                               E0=out.Hf + Ek, key=k2, step=jnp.asarray(0))
+
             if velocities is None:
-                from .md import initialize_velocity
-                velocities = initialize_velocity(self.const, species,
-                                                 coordinates, k1, Temp)
-            out = energy(self.const, self.tables, self.seqm_cfg, species,
-                         coordinates, learned=self.learned)
-            from .md import MDState, kinetic_energy
-            Ek, _ = kinetic_energy(self.const, species, velocities)
-            st = MDState(coordinates=coordinates, velocities=velocities,
-                         acc=jnp.zeros_like(coordinates),
-                         P=jax.lax.stop_gradient(out.P),
-                         E0=out.Hf + Ek, key=k2, step=jnp.asarray(0))
+                velocities = jnp.zeros_like(coordinates)
+            st = jax.jit(_boot)(coordinates, velocities, key)
         D = self._pack_mat(st.P)
         Pt = jnp.broadcast_to(D[None], (self.m,) + D.shape)
         return XLBOMDState(
