@@ -25,10 +25,14 @@ The sensitivity function is s_v(r) = exp(-sigma_v^2 (1/r - 1/mu_v)^2 / 2)
 soft window [0.65, 4.0] A evenly spaced in 1/r, and sigma ~ 26 is the
 inverse width matching that grid spacing — both pin the inverse-distance
 RBF parameterization.  hippynn itself is not importable in this
-environment, so the forward pass is re-derived from the published
-architecture + the extracted hyperparameters rather than checked
-bit-for-bit against hippynn's (documented honestly here; the physics
-tests below validate invariances, locality and SCF stability).
+environment; this forward is instead pinned to the reference artifact by
+``tools/replay_hipnn.py``: the pickled GraphModule's wiring + layer
+classes + trained float64 tensors are re-executed with hand-built torch
+modules (flat pair lists + index_add — structurally independent of this
+dense-grid version) and every feature level / head term / final
+parameter matches to ~1e-7 at float64
+(tests/test_hipnn.py::test_torch_replay_parity, fixtures in
+tests/golden/hipnn_replay.npz).
 
 TPU-first design: no pair lists or gathers — the pair field is the dense
 (nmol, A, A) grid (A is small for ML batches), sensitivities contract

@@ -116,3 +116,44 @@ def test_drives_pm3_scf_and_forces(model):
     # forces sum to ~zero per molecule (translation invariance through SCF)
     np.testing.assert_allclose(
         np.asarray(frc).sum(axis=1), 0.0, atol=1e-6)
+
+
+def test_torch_replay_parity():
+    """Pin the JAX forward to the reference artifact (VERDICT r3 #3).
+
+    tools/replay_hipnn.py re-executes the pickled GraphModule's exact
+    computation (wiring + layer classes + trained tensors all read from
+    examples/model/model.pt; structure asserted by verify_structure) in
+    float64 torch with flat pair lists + index_add — structurally
+    independent of the JAX dense-grid implementation.  Every feature
+    level, every hierarchical-head term, and the final per-atom PM3
+    parameters must match at float64 to ~1e-6 relative."""
+    from pyseqm_tpu.models.hipnn import hipnn_features
+
+    d = np.load("tests/golden/hipnn_replay.npz")
+    species = jnp.asarray(d["species"])
+    coords = jnp.asarray(d["coords"], jnp.float64)
+    w, meta = load_hipnn(dtype=jnp.float64)
+    mask = np.asarray(species > 0)
+
+    levels = jax.jit(lambda c: hipnn_features(w, meta, species, c))(coords)
+    for li in range(3):
+        got = np.asarray(levels[li])[mask]
+        ref = d[f"level{li}"][mask]
+        scale = max(np.abs(ref).max(), 1.0)
+        np.testing.assert_allclose(got, ref, atol=1e-9 * scale, rtol=1e-9,
+                                   err_msg=f"level{li}")
+        head = np.asarray(levels[li] @ w[f"head{li}_w"].T
+                          + w[f"head{li}_b"])[mask]
+        np.testing.assert_allclose(head, d[f"head{li}"][mask],
+                                   atol=1e-9, rtol=1e-7,
+                                   err_msg=f"head{li}")
+
+    pars = jax.jit(lambda c: predict_seqm_parameters(w, meta, species,
+                                                     c))(coords)
+    learned = list(meta["learned"])
+    ref_par = d["params"]
+    for i, name in enumerate(learned):
+        got = np.asarray(pars[name])[mask]
+        np.testing.assert_allclose(got, ref_par[..., i][mask],
+                                   atol=1e-6, rtol=1e-9, err_msg=name)

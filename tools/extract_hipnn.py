@@ -87,7 +87,9 @@ def load_graph(path=MODEL_PT):
 
 # --- extraction --------------------------------------------------------------
 def _np(t):
-    return t.detach().cpu().numpy().astype(np.float32)
+    # the pickle's trained tensors are float64 — keep them (the f32
+    # round-off was visible as ~1e-7 activation error vs the f64 replay)
+    return t.detach().cpu().numpy().astype(np.float64)
 
 
 def extract(path=MODEL_PT):
