@@ -84,3 +84,63 @@ def test_force_finite_difference(golden):
     dE_num = (np.asarray(ep) - np.asarray(em)) / (2 * h)
     dE_ana = -np.sum(np.asarray(f) * np.asarray(d), axis=(1, 2))
     np.testing.assert_allclose(dE_ana, dE_num, atol=1e-5)
+
+
+@pytest.mark.parametrize("method", METHODS)
+def test_batch96_parity(golden, method):
+    """Statistical parity (VERDICT r3 #6): 96 mixed-size jittered organics
+    per method — energies, forces, orbital energies vs the f64 reference.
+    Makes the 1e-6 eV claim statistical rather than anecdotal."""
+    g = golden(f"{method.lower()}_batch96")
+    const = pq.make_constants(dtype=jnp.float64)
+    tables = pq.load_element_tables(method, dtype=jnp.float64)
+    species = jnp.asarray(g["species"], dtype=jnp.int32)
+    coords = jnp.asarray(g["coordinates"], dtype=jnp.float64)
+
+    out = _energy(method, False, const, tables, species, coords)
+    assert not np.asarray(out.notconverged).any()
+    np.testing.assert_allclose(np.asarray(out.Hf), g["Hf"], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out.Etot), g["Etot"], atol=1e-7)
+    # orbital energies are *linearly* sensitive to the SCF endpoint
+    # (energies quadratically), so two eps=1e-10 fixed points can differ
+    # a few 1e-6 here (worst 4.5e-6 over 3072 on this batch)
+    np.testing.assert_allclose(np.asarray(out.e), g["e_orb"], atol=1e-5)
+
+    f, _ = _force(method, const, tables, species, coords)
+    # Hellmann-Feynman forces are linearly sensitive to the SCF endpoint
+    # (the energy quadratically): two eps=1e-10 fixed points leave a
+    # worst 1.6e-5 eV/A tail on 12/2304 entries (PM3); the 2-molecule
+    # goldens above still pin 1e-6
+    np.testing.assert_allclose(np.asarray(f), g["force"], atol=3e-5)
+
+
+@pytest.mark.parametrize("method", METHODS)
+def test_diatomic_dissociation_parity(golden, method):
+    """Dissociation curves for every even-electron H/C/N/O/F diatomic at
+    13 separations (cf. reference tests/test.py:27-33): probes the
+    integral series far from equilibrium (B-integral small-x Taylor
+    branch, overlap decay).  Reference-unconverged entries are skipped;
+    ours must converge everywhere the reference does."""
+    g = golden(f"{method.lower()}_diatomics")
+    const = pq.make_constants(dtype=jnp.float64)
+    tables = pq.load_element_tables(method, dtype=jnp.float64)
+    species = jnp.asarray(g["species"], dtype=jnp.int32)
+    coords = jnp.asarray(g["coordinates"], dtype=jnp.float64)
+
+    out = _energy(method, False, const, tables, species, coords)
+    ok = ~np.asarray(g["notconverged"])
+    assert not np.asarray(out.notconverged)[ok].any()
+    hf = np.asarray(out.Hf)[ok]
+    ref = g["Hf"][ok]
+    # stretched closed-shell RHF has multiple SCF fixed points, and the
+    # far tail of a dissociation curve is multi-stable: identical f64
+    # programs land in different basins under different environments
+    # (observed: CO at 2.85/3.2 A flips basin between a standalone run
+    # and the pytest process, both directions).  Exempt at most 2
+    # entries per method, only at r >= 2.5 A and only for macroscopic
+    # (>1e-3 eV) basin-scale separations — everything else pins 1e-6.
+    r = np.asarray(g["coordinates"])[ok][:, 1, 0]
+    d = np.abs(hf - ref)
+    basin = (d > 1e-3) & (r >= 2.5)
+    assert basin.sum() <= 2, f"{int(basin.sum())} basin outliers"
+    np.testing.assert_allclose(hf[~basin], ref[~basin], atol=1e-6)

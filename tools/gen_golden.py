@@ -212,6 +212,74 @@ def run_md_golden(method="AM1", nve_steps=5):
     print(f"md golden done: {method} ({nve_steps} NVE steps)")
 
 
+def run_batch_golden(method, nmol=96, molsize=8, jitter=0.08, seed=42):
+    """Statistical golden batch (VERDICT r3 #6): nmol mixed-size jittered
+    organics (the bench generator's round-robin CH2O/H2O/CH4/NH3/CH3OH/
+    C2H6 set), reference f64 energies + forces + orbital energies.
+    Broadens the parity evidence from 2 molecules/method to ~100
+    (cf. the reference's own 101-copy sweep trick, tests/test6)."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from pyseqm_tpu.utils.molecules import make_batch
+
+    sp_np, co_np = make_batch(nmol, molsize, jitter=jitter, seed=seed)
+    device = torch.device("cpu")
+    species = torch.as_tensor(np.asarray(sp_np, np.int64), device=device)
+    coords = torch.tensor(np.asarray(co_np, np.float64), device=device)
+    const = Constants().to(device)
+    elements = [0] + sorted(set(species.reshape(-1).tolist()) - {0})
+
+    frc = Force(seqm_parameters(method, elements, eig=True))
+    f, Pconv, Etot, Hf, Eelec, Enuc, Eiso, EnucAB, e_orb, charge, notcnv = \
+        frc(const, coords, species)
+    assert not bool(notcnv.any()), "reference SCF failed on the batch"
+    np.savez_compressed(
+        os.path.join(OUT, f"{method.lower()}_batch{nmol}.npz"),
+        species=np.asarray(sp_np), coordinates=np.asarray(co_np),
+        Hf=Hf.detach().numpy(), Etot=Etot.detach().numpy(),
+        Eelec=Eelec.detach().numpy(), Enuc=Enuc.detach().numpy(),
+        force=f.detach().numpy(), e_orb=e_orb.detach().numpy(),
+        charge=charge.detach().numpy())
+    print(f"batch golden done: {method} nmol={nmol} "
+          f"Hf[:3]={Hf.detach().numpy()[:3]}")
+
+
+# even-valence-electron diatomics over the reference's effective element
+# coverage (H..F; odd-electron systems raise, basics.py:73-74)
+DIATOMICS = [(1, 1), (7, 1), (9, 1), (6, 6), (8, 6), (7, 7), (8, 8), (9, 9)]
+DIATOMIC_R = np.concatenate([np.arange(0.75, 1.61, 0.1),
+                             np.arange(1.8, 3.21, 0.35)])
+
+
+def run_dissociation_golden(method):
+    """Diatomic dissociation curves (cf. reference tests/test.py:27-33):
+    every even-electron pair over H/C/N/O/F at 13 separations, reference
+    f64 heats of formation.  Curves probe the integral series far from
+    equilibrium (small-x Taylor branches, overlap decay) where the
+    2-molecule goldens cannot."""
+    device = torch.device("cpu")
+    pairs = []
+    for (zi, zj) in DIATOMICS:
+        for r in DIATOMIC_R:
+            pairs.append(((zi, zj), r))
+    species = torch.as_tensor([[p[0][0], p[0][1]] for p in pairs],
+                              dtype=torch.int64, device=device)
+    coords = torch.tensor([[[0.0, 0.0, 0.0], [float(p[1]), 0.0, 0.0]]
+                           for p in pairs], device=device)
+    const = Constants().to(device)
+    elements = [0] + sorted(set(species.reshape(-1).tolist()))
+
+    ene = Energy(seqm_parameters(method, elements))
+    Hf, Etot, Eelec, Enuc, Eiso, EnucAB, e_orb, P, charge, notcnv = ene(
+        const, coords, species, all_terms=True)
+    np.savez_compressed(
+        os.path.join(OUT, f"{method.lower()}_diatomics.npz"),
+        species=species.numpy(), coordinates=coords.detach().numpy(),
+        Hf=Hf.detach().numpy(), Etot=Etot.detach().numpy(),
+        notconverged=notcnv.detach().numpy())
+    print(f"dissociation golden done: {method} "
+          f"{int(notcnv.sum())}/{len(pairs)} unconverged")
+
+
 if __name__ == "__main__":
     for m in ["AM1", "MNDO", "PM3"]:
         run_method(m)
@@ -221,3 +289,6 @@ if __name__ == "__main__":
     run_md_golden("AM1", nve_steps=25)
     run_md_golden("MNDO", nve_steps=5)
     run_md_golden("PM3", nve_steps=5)
+    for m in ["AM1", "MNDO", "PM3"]:
+        run_batch_golden(m)
+        run_dissociation_golden(m)
