@@ -12,6 +12,7 @@ Units: Angstrom, fs, eV, g/mol, Kelvin (same as reference).
 from __future__ import annotations
 
 import dataclasses
+import types
 from typing import Callable, Dict, NamedTuple, Optional, Tuple
 
 import jax
@@ -263,10 +264,17 @@ class MolecularDynamics:
         return jax.jit(_init)(coordinates, velocities, key)
 
     # -- scan-compiled execution ---------------------------------------
-    def _build_chunk(self, species, nsteps: int):
+    def _build_chunk(self, species, nsteps: int, with_frames: bool = False):
+        """``with_frames=True`` additionally scans out per-step
+        (coordinates, velocities, acc) so run() can write a trajectory
+        frame at EVERY dump boundary inside a compiled chunk — matching
+        the reference's every-`dump`-steps resolution
+        (MolecularDynamics.py:300-320) instead of one frame per chunk."""
         def chunk(state):
             def body(st, _):
                 st, obs = self.step(species, st)
+                if with_frames:
+                    return st, (obs, (st.coordinates, st.velocities, st.acc))
                 return st, obs
             return jax.lax.scan(body, state, None, length=nsteps)
         return jax.jit(chunk)
@@ -280,24 +288,24 @@ class MolecularDynamics:
 
         The final chunk is clamped so exactly `steps` steps run; dump /
         remove_com intervals need not be multiples of `thermo` — they fire
-        whenever their boundary is crossed within a chunk.  Dump
-        resolution is capped at the chunk size: steps inside a compiled
-        chunk are not host-visible, so at most one frame (the chunk-end
-        state) is written per chunk even if several `dump` boundaries fall
-        inside it.  Use dump >= thermo (or lower `thermo`) for
-        every-dump-steps frames like the reference's
-        (MolecularDynamics.py:300)."""
+        whenever their boundary is crossed within a chunk.  When dumping,
+        the chunk additionally scans out per-step frames, so a frame is
+        written at EVERY `dump` boundary — full reference dump resolution
+        (MolecularDynamics.py:300-320) even when several boundaries fall
+        inside one compiled chunk."""
         chunks = {}
 
         def get_chunk(n):
             if n not in chunks:
-                chunks[n] = self._build_chunk(species, n)
+                chunks[n] = self._build_chunk(species, n,
+                                              with_frames=bool(dump))
             return chunks[n]
 
         done = 0
         if log:
             print("Step, Temp, E(kinetic), E(potential), E(total), "
                   "dipole(x,y,z)")
+        mass = atom_masses(self.const, species)
         while done < steps:
             n = min(thermo, steps - done)
             if self.timing is not None:
@@ -306,6 +314,9 @@ class MolecularDynamics:
                     jax.block_until_ready(obs)
             else:
                 state, obs = get_chunk(n)(state)
+            frames = None
+            if dump:
+                obs, frames = obs
             prev = done
             done += n
             last = jax.tree_util.tree_map(lambda x: x[-1], obs)
@@ -320,10 +331,18 @@ class MolecularDynamics:
                     for m in molids)
                 print(f"{done:6d} {cols}", flush=True)
             if dump and (done // dump) > (prev // dump):
-                forces = (state.acc * atom_masses(self.const, species)
-                          / ACC_SCALE)
-                xyz_io.dump_frame(dump_prefix, self.const, species, state,
-                                  last, molids, forces=forces)
+                xs, vs, accs = frames
+                for s in range(n):
+                    gstep = prev + s + 1
+                    if gstep % dump:
+                        continue
+                    snap = types.SimpleNamespace(
+                        coordinates=xs[s], velocities=vs[s],
+                        step=jnp.asarray(gstep))
+                    obs_s = jax.tree_util.tree_map(lambda x: x[s], obs)
+                    xyz_io.dump_frame(dump_prefix, self.const, species,
+                                      snap, obs_s, molids,
+                                      forces=accs[s] * mass / ACC_SCALE)
             rc = self.md_cfg.remove_com
             if rc and (done // rc) > (prev // rc):
                 x, v = zero_com(self.const, species, state.coordinates,
