@@ -68,7 +68,12 @@ def bench_tpu(nmol=NMOL, chunk=CHUNK, repeats=3, timing=False, ml=False,
         # :26-41): per-atom PM3 parameters from the shipped HIP-NN model,
         # re-evaluated natively every MD step (models/hipnn.py)
         from pyseqm_tpu.models.hipnn import make_hipnn_callable
-        learned = make_hipnn_callable()
+        # the network runs at "high" matmul precision (3-pass bf16,
+        # ~f32-faithful): measured parameter error vs the f64 torch
+        # replay is identical to 6-pass "highest" (2.05e-4 both — the
+        # floor is f32 storage), at ~10% less network wall.  Plain bf16
+        # is 50x worse (1e-2 eV-scale) — rejected.
+        learned = make_hipnn_callable(precision="high")
     elif ml:
         # learned-Hamiltonian flagship (BASELINE config 5): per-atom NDDO
         # parameters predicted each step by a geometry-dependent network

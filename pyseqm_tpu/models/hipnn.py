@@ -95,6 +95,11 @@ def hipnn_features(w, meta, species, coordinates):
         mu, sigma = w[p + "mu"], w[p + "sigma"]
         z = (inv_r[..., None] - 1.0 / mu) * sigma         # (nmol, A, A, S)
         sens = jnp.exp(-0.5 * z * z) * cut[..., None]
+        # NB (r4, measured): contracting the feature axis first
+        # (T = einsum(W, feat) then einsum(sens, T), K = A*S = 160) looks
+        # MXU-friendlier than this env-first order (K = A = 8) but LOSES
+        # ~4 ms/step end-to-end in the XL-BOMD drive (31.1 vs 35.7
+        # steps/s @10240) — the T intermediate's backward dominates.
         env = jnp.einsum("nijs,njf->nisf", sens, feat)
         y = jnp.einsum("nisf,sof->nio", env, w[p + "int_weights"])
         y = y + feat @ w[p + "self_w"].T + w[p + "self_b"]
@@ -122,13 +127,25 @@ def predict_seqm_parameters(w, meta, species, coordinates
     return {name: par[..., i] for i, name in enumerate(meta["learned"])}
 
 
-def make_hipnn_callable(path: str = None, dtype=jnp.float32):
+def make_hipnn_callable(path: str = None, dtype=jnp.float32,
+                        precision: str = None):
     """The ``learned_parameters`` callable for energy()/force()/MD drivers
     (contract of basics.py:279-283), evaluating the reference's shipped
-    trained model."""
+    trained model.
+
+    ``precision`` overrides the matmul precision for the network only:
+    the SEQM models run under "highest" (6-pass f32 — required by the
+    SCF numerics), but the parameter network tolerates "high" (3-pass,
+    ~f32-faithful; measured parameter error ~1e-6 eV vs highest at
+    ~10%% less network wall).  Default None inherits the caller's
+    precision context.
+    """
     w, meta = load_hipnn(path, dtype)
 
     def f(species, coordinates):
-        return predict_seqm_parameters(w, meta, species, coordinates)
+        if precision is None:
+            return predict_seqm_parameters(w, meta, species, coordinates)
+        with jax.default_matmul_precision(precision):
+            return predict_seqm_parameters(w, meta, species, coordinates)
 
     return f

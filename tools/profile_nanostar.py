@@ -169,5 +169,141 @@ def main(n_carbons=294):
     print(f"steps/s: {1.0 / results['force_total']:.2f}")
 
 
+def main_packed(n_carbons=294):
+    """Profile the FULLY-PACKED electronic chain — the configuration the
+    nanostar bench actually runs (bench_nanostar: force_xl packed_io).
+    Stages mirror main() but at the packed layout."""
+    import jax
+    import jax.numpy as jnp
+
+    import pyseqm_tpu as pq
+    from pyseqm_tpu.models.energy import (_atom_parameters, _integral_stack,
+                                          _nuclear_term)
+    from pyseqm_tpu.models.xlbomd import energy_xl, force_xl
+    from pyseqm_tpu.ops.density import (packed_solver_size, sp2,
+                                        static_pack_mat)
+    from pyseqm_tpu.ops.fock import fock_packed_split
+    from pyseqm_tpu.scf import SCFConfig
+    from pyseqm_tpu.system import make_system
+    from pyseqm_tpu.utils.molecules import make_alkane
+
+    z, x = make_alkane(n_carbons)
+    species = jnp.asarray(z[None])
+    coords0 = jnp.asarray(x[None], jnp.float32)
+    A = species.shape[1]
+    K = pq.packed_heavy_count(z[None])
+    n_st = packed_solver_size(K, A)
+    const, tables, cfg = pq.build(
+        "AM1", dtype=jnp.float32,
+        scf=SCFConfig(eps=1.0e-3, converger=(2,), use_sp2=True,
+                      sp2_eps=1.0e-4, sp2_precision="highest",
+                      sp2_tight_bounds=True, max_iter=400,
+                      pack_orbitals=pq.packed_orbital_size(z[None]),
+                      pack_heavy=K))
+    out = jax.block_until_ready(jax.jit(
+        lambda c: pq.energy(const, tables, cfg, species, c))(coords0))
+    P0 = jax.block_until_ready(static_pack_mat(out.P, K, n_st))
+    del out
+    print(f"system: {int((species > 0).sum())} atoms, packed n={n_st}",
+          file=sys.stderr)
+
+    mmp = jax.default_matmul_precision(cfg.matmul_precision)
+
+    def stack(c):
+        with mmp:
+            s = make_system(const, species, c, None, cfg.pair_outer_cutoff,
+                            heavy_count=K)
+            p = _atom_parameters(tables, cfg.method, s, None, c)
+            Kbeta = p.pop("Kbeta", None)
+            p.pop("g_ss_nuc", None)
+            return s, p, _integral_stack(const, s, p, Kbeta, cfg,
+                                         packed_m=n_st)
+
+    results = {}
+
+    def integrals_fwd(c):
+        _, _, (M, w, _) = stack(c)
+        r = jnp.sum(M)
+        for leaf in jax.tree_util.tree_leaves(w):
+            r = r + jnp.sum(leaf)
+        return c + 1.0e-12 * r
+
+    results["integrals_fwd"], _ = chain_timer(integrals_fwd, coords0)
+
+    def integrals_vjp(c):
+        def f(cc):
+            _, _, (M, w, _) = stack(cc)
+            r = jnp.sum(M)
+            for leaf in jax.tree_util.tree_leaves(w):
+                r = r + jnp.sum(leaf)
+            return r
+        return c + 1.0e-12 * jax.grad(f)(c)
+
+    results["integrals_vjp"], _ = chain_timer(integrals_vjp, coords0)
+
+    s0, p0, (M0, w0, _) = jax.jit(lambda c: stack(c))(coords0)
+    s0 = jax.block_until_ready(s0)
+
+    def fock_fwd(P):
+        with mmp:
+            F = fock_packed_split(s0, P, M0, w0, p0, K, n_st)
+        return P + 1.0e-12 * F
+
+    results["fock_fwd"], F0c = chain_timer(fock_fwd, P0)
+
+    def fock_vjp(P):
+        def f(PP):
+            with mmp:
+                return jnp.sum(fock_packed_split(s0, PP, M0, w0, p0, K, n_st))
+        return P + 1.0e-9 * jax.grad(f)(P)
+
+    results["fock_vjp"], _ = chain_timer(fock_vjp, P0)
+
+    F0 = jax.jit(lambda P: fock_packed_split(s0, P, M0, w0, p0, K, n_st))(P0)
+    F0 = jax.block_until_ready(F0)
+
+    def sp2_fwd(F):
+        with mmp:
+            D = sp2(s0, F, cfg.scf.sp2_eps, cfg.scf.sp2_precision,
+                    cfg.scf.sp2_dots, cfg.scf.sp2_tight_bounds,
+                    pack_heavy=K, prepacked=True)
+        return F + 1.0e-9 * D
+
+    results["sp2_fwd"], _ = chain_timer(sp2_fwd, F0)
+
+    def nuclear_vjp(c):
+        def f(cc):
+            s, p, (M, w, _) = stack(cc)
+            EnucAB, mask = _nuclear_term(const, s, w, cfg, p)
+            return jnp.sum(EnucAB)
+        return c + 1.0e-12 * jax.grad(f)(c)
+
+    results["nuclear_vjp"], _ = chain_timer(nuclear_vjp, coords0)
+
+    def energy_fwd(c):
+        o = energy_xl(const, tables, cfg, species, c, P0, packed_io=True)
+        return c + 1.0e-12 * jnp.sum(o.Hf)
+
+    results["energy_fwd"], _ = chain_timer(energy_fwd, coords0)
+
+    def force_total(c):
+        frc, _, D = force_xl(const, tables, cfg, species, c, P0,
+                             packed_io=True)
+        return c + 1.0e-7 * frc
+
+    results["force_total"], _ = chain_timer(force_total, coords0)
+
+    print("--- nanostar PACKED force-step breakdown (ms/step, min of 3) ---")
+    for k, v in results.items():
+        print(f"{k:16s} {v * 1e3:9.1f} ms")
+    bwd = results["force_total"] - results["energy_fwd"]
+    print(f"{'backward (est.)':16s} {bwd * 1e3:9.1f} ms")
+    print(f"steps/s: {1.0 / results['force_total']:.2f}")
+
+
 if __name__ == "__main__":
-    main()
+    import os
+    if os.environ.get("NANOPROF_MODE", "packed") == "packed":
+        main_packed()
+    else:
+        main()
