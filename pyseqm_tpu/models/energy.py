@@ -62,6 +62,15 @@ class SEQMConfig:
     # jax.checkpoint the integral stack (recompute in backward instead of
     # storing intermediates).  None = auto: on for A >= 32.
     remat_integrals: Optional[bool] = None
+    # STATIC: enable row-3 elements (Na..Cl, principal quantum number 3)
+    # via the generated-coefficient overlap (ops/overlap_general.py).
+    # EXCEEDS the reference, which raises for any row-3 pair
+    # (diat_overlap.py:65-72) despite shipping Na..Cl parameter rows.
+    # Forces the flat pair layout (the class-segmented packed paths
+    # assume two heavy-integral classes); elements without parameters in
+    # the method's table (e.g. Na/Mg in AM1: all-zero CSV rows) remain
+    # unsupported — check the table before relying on one.
+    row3: bool = False
     # class-segmented static pair packing (ops/hcore.py hcore_split): with
     # K = scf.pack_heavy, the pair list is enumerated XX | XH | HH so each
     # segment runs the reference's 22/4/1-integral pair-class formula on a
@@ -136,6 +145,9 @@ def _orbital_charges(sys: System, v: jnp.ndarray) -> jnp.ndarray:
 def _resolve_pair_layout(cfg: SEQMConfig, A: int):
     """(dense, packK): the integral layout decision, shared with
     make_system so the pair enumeration and the hcore builder agree."""
+    if getattr(cfg, "row3", False):
+        # the general-overlap path lives on the flat pair list only
+        return False, None
     pp = cfg.pack_pairs
     if pp is None:
         pp = cfg.scf.pack_heavy is not None
@@ -212,7 +224,8 @@ def _integral_stack(const, sys, p, Kbeta, cfg, packed_m=None):
                                cfg.precise_overlap)
     else:
         def build(const, sys, p, Kbeta):
-            return hcore(const, sys, p, Kbeta, False, cfg.precise_overlap)
+            return hcore(const, sys, p, Kbeta, False, cfg.precise_overlap,
+                         row3=cfg.row3)
     remat = cfg.remat_integrals
     if remat is None:
         remat = A >= 32

@@ -58,6 +58,7 @@ def hcore(
     Kbeta: Optional[jnp.ndarray] = None,
     dense_grid: bool = False,
     precise_overlap: bool = True,
+    row3: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Assemble the core Hamiltonian block grid and two-electron integrals.
 
@@ -87,7 +88,8 @@ def hcore(
     # turns the zero cotangent the where() sends here into NaN forces
     rij_ov = jnp.where(ov_mask, sys.rij, jnp.asarray(1.0, dtype))
     di = diatom_overlap(qn_i, qn_j, sys.xij, rij_ov,
-                        zeta[:, iu], zeta[:, ju], precise=precise_overlap)
+                        zeta[:, iu], zeta[:, ju], precise=precise_overlap,
+                        row3=row3)
     di = jnp.where(ov_mask[..., None, None], di, 0.0)
 
     bs_i, bp_i = p["beta_s"][:, iu], p["beta_p"][:, iu]

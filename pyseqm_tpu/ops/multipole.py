@@ -34,16 +34,18 @@ def dd_qq(qn, zs, zp):
     The float-exponent powers are expanded into integer powers + sqrt: XLA
     lowers f32 `pow` on TPU through the ~50-ulp hardware exp/log (see
     accmath.py), and dd feeds every multipole integral.  Supported rows
-    have qn in {1, 2} (validate() enforces this).
+    have qn in {1, 2, 3} (row 3 via SEQMConfig.row3).
     """
     v = 4.0 * zs * zp
     w = zs + zp
     is1 = qn < 1.5
-    # v^(qn+0.5): qn=1 -> v*sqrt(v);  qn=2 -> v^2*sqrt(v)
-    v_pow = jnp.where(is1, v, v * v) * jnp.sqrt(v)
-    # w^(2qn+2):  qn=1 -> w^4;        qn=2 -> w^6
+    is3 = qn > 2.5
+    # v^(qn+0.5): qn=1 -> v*sqrt(v);  qn=2 -> v^2*sqrt(v);  qn=3 -> v^3*sqrt(v)
+    v_pow = jnp.where(is1, v, jnp.where(is3, v * v * v, v * v)) * jnp.sqrt(v)
+    # w^(2qn+2):  qn=1 -> w^4;        qn=2 -> w^6;          qn=3 -> w^8
     w2 = w * w
-    w_pow = jnp.where(is1, w2 * w2, w2 * w2 * w2)
+    w_pow = jnp.where(is1, w2 * w2,
+                      jnp.where(is3, w2 * w2 * w2 * w2, w2 * w2 * w2))
     dd = ((2.0 * qn + 1.0) * v_pow / w_pow
           / jnp.sqrt(jnp.asarray(3.0, zs.dtype)))
     qq = jnp.sqrt((4.0 * qn ** 2 + 6.0 * qn + 2.0) / 20.0) / zp

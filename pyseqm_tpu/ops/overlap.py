@@ -382,7 +382,8 @@ def diatom_overlap_hh(qni, qnj, rij, zsi, zsj, precise=False):
     return S111
 
 
-def diatom_overlap(qni, qnj, xij, rij, zeta_i, zeta_j, precise=False):
+def diatom_overlap(qni, qnj, xij, rij, zeta_i, zeta_j, precise=False,
+                   row3=False):
     """Overlap 4x4 block between the AOs of an (i, j) pair.
 
     Args:
@@ -393,6 +394,11 @@ def diatom_overlap(qni, qnj, xij, rij, zeta_i, zeta_j, precise=False):
       precise: evaluate the A/B chain in double-float (f32 inputs only;
         matches the reference's f64 numerics to ~1e-8 absolute; gradients
         use the plain-f32 chain — see _s_combinations_tf_jvp).
+      row3: STATIC — additionally evaluate the (3,1)/(3,2)/(3,3)
+        principal-quantum-number classes via the generated-coefficient
+        machinery (ops/overlap_general.py).  EXCEEDS the reference, which
+        raises for any row-3 pair (diat_overlap.py:65-72); plain f32/f64
+        chain (no double-float variant).
 
     Returns: (..., 4, 4) overlap in the molecular frame (rows: AOs on i).
     """
@@ -409,6 +415,19 @@ def diatom_overlap(qni, qnj, xij, rij, zeta_i, zeta_j, precise=False):
     else:
         S111, S211, S121, S221, S222 = _s_combinations(
             rij, zsi, zpi, zsj, zpj, jcall2, jcall3, jcall4, False)
+
+    if row3:
+        from .overlap_general import s_combinations_general
+        for (na, nb) in ((3, 1), (3, 2), (3, 3)):
+            mk = (qni == na) & (qnj == nb)
+            g = s_combinations_general(na, nb, rij, zsi, zpi, zsj, zpj)
+            S111 = jnp.where(mk, g[0], S111)
+            S211 = jnp.where(mk, g[1], S211)
+            if nb > 1:
+                # nb == 1 (X-H): the lighter atom is s-only
+                S121 = jnp.where(mk, g[2], S121)
+                S221 = jnp.where(mk, g[3], S221)
+                S222 = jnp.where(mk, g[4], S222)
 
     v = _reg_v(xij)
 

@@ -153,23 +153,28 @@ def sort_species(species: np.ndarray, coordinates: np.ndarray):
 
 
 def validate(species: np.ndarray, charges: Optional[np.ndarray] = None,
-             tore: Optional[np.ndarray] = None):
+             tore: Optional[np.ndarray] = None, allow_row3: bool = False):
     """Host-side checks mirroring the reference's runtime assertions."""
     from .constants import _QN, _TORE, MAX_Z
 
     species = np.asarray(species)
     if (species < 0).any() or (species > MAX_Z).any():
         raise ValueError("unsupported element: atomic numbers must be in [0, 18]")
-    # Row-3 atoms (Na..Ar, principal quantum number 3) have no overlap
-    # integrals (jcall 5/6) here, exactly like the reference, which raises
-    # in diat_overlap.py:71-72; without this check they would silently
-    # produce all-zero resonance blocks and wrong energies.
+    # Row-3 atoms (Na..Cl, principal quantum number 3) need the
+    # generated-coefficient overlap path: SEQMConfig.row3=True (this
+    # EXCEEDS the reference, which raises for any row-3 pair,
+    # diat_overlap.py:71-72).  ``allow_row3`` mirrors that flag here so
+    # plain configs still fail fast instead of producing all-zero
+    # resonance blocks.  Argon (Z=18) has no parameters in any method.
+    if (species == 18).any():
+        raise ValueError("argon (Z=18) has no NDDO parameters")
     if (np.asarray(_QN)[species] > 2).any():
         bad = sorted(set(int(z) for z in species[np.asarray(_QN)[species] > 2]))
-        raise ValueError(
-            f"unsupported elements {bad}: only rows 1-2 (H, Li..F) have "
-            "overlap integrals (same limitation as the reference, "
-            "diat_overlap.py:71-72)")
+        if not allow_row3:
+            raise ValueError(
+                f"row-3 elements {bad} require SEQMConfig.row3=True "
+                "(pass allow_row3=True to validate); the reference always "
+                "raises here (diat_overlap.py:71-72)")
     if not (np.diff(species, axis=1) <= 0).all():
         raise ValueError("atoms must be sorted by descending atomic number "
                          "(use pyseqm_tpu.system.sort_species)")

@@ -216,11 +216,13 @@ def test_checkpoint_mismatch_raises(tmp_path, golden):
 
 
 def test_validate_rejects_row3():
-    """Row-3 atoms (no jcall 5/6 overlap integrals) are rejected up front,
-    matching the reference's ValueError (diat_overlap.py:71-72)."""
-    with pytest.raises(ValueError, match="rows 1-2"):
+    """Row-3 atoms are rejected unless the caller opts into the
+    generated-coefficient overlap path (SEQMConfig.row3 — a capability
+    the reference lacks: it always raises, diat_overlap.py:71-72).
+    Full row-3 coverage lives in tests/test_row3.py."""
+    with pytest.raises(ValueError, match="row3"):
         pq.system.validate(np.array([[16, 1, 1, 0]]))
-    with pytest.raises(ValueError, match="rows 1-2"):
+    with pytest.raises(ValueError, match="row3"):
         pq.system.validate(np.array([[11, 1, 1, 1]]))
 
 

@@ -145,3 +145,41 @@ def test_precise_overlap_grad_is_plain_chain():
         lambda r: jnp.sum(diatom_overlap(qni, qnj, xij, r, zi, zj,
                                          precise=True) ** 2))))(rij)
     assert np.isfinite(np.asarray(h)).all()
+
+
+def test_general_overlap_matches_hand_coded():
+    """The generated-coefficient overlap (ops/overlap_general.py)
+    reproduces the hand-coded jcall 2/3/4 combinations exactly (~1e-15)
+    on the A/B exact branch — validating the machinery row-3 classes
+    use.  (On the |pt| <= 0.5 Taylor branch the hand chain mirrors the
+    reference's truncated series, diat_overlap.py:367-391, while the
+    general series carries 16 terms; they agree only to the reference's
+    own ~1e-7 truncation there, so the exact check filters to the
+    exact branch.)"""
+    from pyseqm_tpu.ops.overlap import _s_combinations
+    from pyseqm_tpu.ops.overlap_general import s_combinations_general
+
+    rng = np.random.default_rng(7)
+    N = 512
+    rij = jnp.asarray(rng.uniform(0.8, 8.0, N))
+    zs1 = jnp.asarray(rng.uniform(0.8, 3.5, N))
+    zp1 = jnp.asarray(rng.uniform(0.8, 3.5, N))
+    zs2 = jnp.asarray(rng.uniform(0.8, 3.5, N))
+    zp2 = jnp.asarray(rng.uniform(0.8, 3.5, N))
+    m = jnp.full((N,), True)
+    zpairs = [(zs1, zs2), (zp1, zs2), (zs1, zp2), (zp1, zp2), (zp1, zp2)]
+
+    for (na, nb), (j2, j3, j4) in (((1, 1), (m, ~m, ~m)),
+                                   ((2, 1), (~m, m, ~m)),
+                                   ((2, 2), (~m, ~m, m))):
+        hand = _s_combinations(rij, zs1, zp1, zs2, zp2, j2, j3, j4, False)
+        gen = s_combinations_general(na, nb, rij, zs1, zp1, zs2, zp2)
+        for ci, (h, g) in enumerate(zip(hand, gen)):
+            h = np.asarray(h)
+            if np.abs(h).max() == 0.0:
+                continue
+            z1, z2 = zpairs[ci]
+            exact = np.abs(np.asarray(0.5 * rij * (z1 - z2))) > 0.6
+            assert exact.sum() > 50
+            d = np.abs(h - np.asarray(g))[exact].max()
+            assert d < 1e-13, (na, nb, ci, d)
