@@ -66,10 +66,10 @@ class SEQMConfig:
     # via the generated-coefficient overlap (ops/overlap_general.py).
     # EXCEEDS the reference, which raises for any row-3 pair
     # (diat_overlap.py:65-72) despite shipping Na..Cl parameter rows.
-    # Forces the flat pair layout (the class-segmented packed paths
-    # assume two heavy-integral classes); elements without parameters in
-    # the method's table (e.g. Na/Mg in AM1: all-zero CSV rows) remain
-    # unsupported — check the table before relying on one.
+    # Works on every pair layout (flat, class-segmented, dense grid) —
+    # row-3 atoms are heavy, so they ride the XX/XH segments.  Elements
+    # without parameters in the method's table (e.g. Na/Mg in AM1:
+    # all-zero CSV rows) remain unsupported — check the table first.
     row3: bool = False
     # class-segmented static pair packing (ops/hcore.py hcore_split): with
     # K = scf.pack_heavy, the pair list is enumerated XX | XH | HH so each
@@ -145,9 +145,6 @@ def _orbital_charges(sys: System, v: jnp.ndarray) -> jnp.ndarray:
 def _resolve_pair_layout(cfg: SEQMConfig, A: int):
     """(dense, packK): the integral layout decision, shared with
     make_system so the pair enumeration and the hcore builder agree."""
-    if getattr(cfg, "row3", False):
-        # the general-overlap path lives on the flat pair list only
-        return False, None
     pp = cfg.pack_pairs
     if pp is None:
         pp = cfg.scf.pack_heavy is not None
@@ -209,19 +206,20 @@ def _integral_stack(const, sys, p, Kbeta, cfg, packed_m=None):
             return hcore_dense_split(const, sys, p, packK,
                                      cfg.pair_outer_cutoff, Kbeta,
                                      cfg.precise_overlap,
+                                     row3=cfg.row3,
                                      packed_m=packed_m)
     elif dense:
         from ..ops.hcore import hcore_dense
 
         def build(const, sys, p, Kbeta):
             return hcore_dense(const, sys, p, cfg.pair_outer_cutoff,
-                               Kbeta, cfg.precise_overlap)
+                               Kbeta, cfg.precise_overlap, row3=cfg.row3)
     elif packK is not None:
         from ..ops.hcore import hcore_split
 
         def build(const, sys, p, Kbeta):
             return hcore_split(const, sys, p, packK, Kbeta,
-                               cfg.precise_overlap)
+                               cfg.precise_overlap, row3=cfg.row3)
     else:
         def build(const, sys, p, Kbeta):
             return hcore(const, sys, p, Kbeta, False, cfg.precise_overlap,

@@ -153,6 +153,7 @@ def hcore_split(
     K: int,
     Kbeta: Optional[jnp.ndarray] = None,
     precise_overlap: bool = True,
+    row3: bool = False,
 ) -> Tuple[jnp.ndarray, WPackSplit]:
     """Class-segmented hcore: per-pair-class integral formulas on static
     slices.
@@ -203,7 +204,8 @@ def hcore_split(
     di = diatom_overlap(qn[:, iu[s_xx]], qn[:, ju[s_xx]],
                         sys.xij[:, s_xx], rij_ov[:, s_xx],
                         ai(zeta, s_xx), aj(zeta, s_xx),
-                        precise=precise_overlap)
+                        precise=precise_overlap,
+                        row3=row3)
     di = jnp.where(ov_mask[:, s_xx][..., None, None], di, 0.0)
     beta_pair = 0.5 * (ai(bi_full, s_xx)[..., :, None]
                        + aj(bi_full, s_xx)[..., None, :])
@@ -235,7 +237,8 @@ def hcore_split(
     col = diatom_overlap_xh(qn[:, iu[s_xh]], qn[:, ju[s_xh]],
                             sys.xij[:, s_xh], rij_ov[:, s_xh],
                             ai(zeta, s_xh), p["zeta_s"][:, ju[s_xh]],
-                            precise=precise_overlap)
+                            precise=precise_overlap,
+                        row3=row3)
     col = jnp.where(ov_mask[:, s_xh][..., None], col, 0.0)
     beta_col = 0.5 * (ai(bi_full, s_xh)
                       + p["beta_s"][:, ju[s_xh]][..., None])
@@ -265,7 +268,8 @@ def hcore_split(
                              rij_ov[:, s_hh],
                              p["zeta_s"][:, iu[s_hh]],
                              p["zeta_s"][:, ju[s_hh]],
-                             precise=precise_overlap)
+                             precise=precise_overlap,
+                        row3=row3)
     s111 = jnp.where(ov_mask[:, s_hh], s111, 0.0)
     off_ss = s111 * 0.5 * (p["beta_s"][:, iu[s_hh]]
                            + p["beta_s"][:, ju[s_hh]])
@@ -318,6 +322,7 @@ def hcore_dense(
     pair_outer_cutoff: float = 1.0e10,
     Kbeta: Optional[jnp.ndarray] = None,
     precise_overlap: bool = True,
+    row3: bool = False,
 ) -> Tuple[jnp.ndarray, WPackGrid]:
     """Gather-free ordered-pair (dense-A^2) hcore for large molecules.
 
@@ -364,7 +369,8 @@ def hcore_dense(
     # guard as the flat path above: r^5 * e^85 cotangents at ~370 A pairs)
     rij_ov = jnp.where(ov_mask, rij, jnp.asarray(1.0, dtype))
     di = diatom_overlap(jnp.maximum(qni, qnj), jnp.minimum(qni, qnj),
-                        xeff, rij_ov, za, zb, precise=precise_overlap)
+                        xeff, rij_ov, za, zb, precise=precise_overlap,
+                        row3=row3)
     di = jnp.where(swap[..., None, None], jnp.swapaxes(di, -1, -2), di)
     di = jnp.where(ov_mask[..., None, None], di, 0.0)
 
@@ -426,6 +432,7 @@ def hcore_dense_split(
     pair_outer_cutoff: float = 1.0e10,
     Kbeta: Optional[jnp.ndarray] = None,
     precise_overlap: bool = True,
+    row3: bool = False,
     packed_m: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, WPackGridSplit]:
     """Class-segmented gather-free hcore (hcore_dense x hcore_split).
@@ -487,7 +494,8 @@ def hcore_dense_split(
     ovm = ov_mask[:, sH, sH]
     rov = rij_ov[:, sH, sH]
     di = diatom_overlap(jnp.maximum(qni, qnj), jnp.minimum(qni, qnj),
-                        xeff, rov, za, zb, precise=precise_overlap)
+                        xeff, rov, za, zb, precise=precise_overlap,
+                        row3=row3)
     di = jnp.where(swap[..., None, None], jnp.swapaxes(di, -1, -2), di)
     di = jnp.where(ovm[..., None, None], di, 0.0)
     beta_xx = 0.5 * (bi_full[:, sH, None, :, None]
@@ -528,7 +536,8 @@ def hcore_dense_split(
         xij[:, sH, sL], rij_ov[:, sH, sL],
         jnp.broadcast_to(zeta[:, sH, None, :], (nmol, K, AH, 2)),
         jnp.broadcast_to(p["zeta_s"][:, None, sL], (nmol, K, AH)),
-        precise=precise_overlap)
+        precise=precise_overlap,
+                        row3=row3)
     col_ov = jnp.where(ovm[..., None], col_ov, 0.0)
     beta_xh = 0.5 * (bi_full[:, sH, None, :]
                      + p["beta_s"][:, None, sL, None])
@@ -557,7 +566,8 @@ def hcore_dense_split(
         rij_ov[:, sL, sL],
         jnp.broadcast_to(p["zeta_s"][:, sL, None], (nmol, AH, AH)),
         jnp.broadcast_to(p["zeta_s"][:, None, sL], (nmol, AH, AH)),
-        precise=precise_overlap)
+        precise=precise_overlap,
+                        row3=row3)
     s111 = jnp.where(ov_mask[:, sL, sL], s111, 0.0)
     off_hh = s111 * 0.5 * (p["beta_s"][:, sL, None]
                            + p["beta_s"][:, None, sL])

@@ -339,13 +339,16 @@ def _reg_v(xij):
                      jnp.stack([zero, zero, zsign], axis=-1))
 
 
-def diatom_overlap_xh(qni, qnj, xij, rij, zeta_i, zsj, precise=False):
+def diatom_overlap_xh(qni, qnj, xij, rij, zeta_i, zsj, precise=False,
+                      row3=False):
     """Overlap column (AOs on i | s AO on j) for the X-H pair segment.
 
     The lighter atom is guaranteed s-only (qnj <= 1), so only the first
     column of the 4x4 block is nonzero: S[0] = S_ss, S[1+p] = S_sigma_s
     v_p.  Two A/B stacks and two combinations instead of four/five
     (cf. the reference's jcall==3 branch, diat_overlap.py:253-298).
+    ``row3`` (STATIC) adds the (3,1) class via the generated
+    coefficients (ops/overlap_general.py).
 
     Returns (..., 4).
     """
@@ -362,12 +365,20 @@ def diatom_overlap_xh(qni, qnj, xij, rij, zeta_i, zsj, precise=False):
         S111, S211, _, _, _ = _s_combinations(
             rij, zsi, zpi, zsj, f + 1.0, jcall2, jcall3, jcall3 & False,
             False, mode=3)
+    if row3:
+        from .overlap_general import s_combinations_general
+        mk = (qni == 3) & (qnj == 1)
+        g = s_combinations_general(3, 1, rij, zsi, zpi, zsj, f + 1.0)
+        S111 = jnp.where(mk, g[0], S111)
+        S211 = jnp.where(mk, g[1], S211)
     v = _reg_v(xij)
     return jnp.concatenate([S111[..., None], S211[..., None] * v], axis=-1)
 
 
-def diatom_overlap_hh(qni, qnj, rij, zsi, zsj, precise=False):
-    """Scalar s-s overlap for the H-H pair segment (jcall==2 branch)."""
+def diatom_overlap_hh(qni, qnj, rij, zsi, zsj, precise=False, row3=False):
+    """Scalar s-s overlap for the H-H pair segment (jcall==2 branch).
+    ``row3`` is accepted for caller uniformity and ignored — both atoms
+    of an H-H pair are row 1 by construction."""
     dtype = rij.dtype
     jcall2 = (qni == 1) & (qnj == 1)
     f = jnp.zeros_like(rij)

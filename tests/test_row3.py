@@ -124,3 +124,45 @@ def test_validate_gating():
     validate(sp, allow_row3=True)        # does not raise
     with pytest.raises(ValueError, match="argon"):
         validate(np.array([[18, 0]]), allow_row3=True)
+
+
+def test_row3_packed_layout_parity(pm3_row3):
+    """Row-3 molecules produce identical energies/forces on the flat and
+    the class-segmented packed layouts (pack_heavy + pack_pairs + dense
+    grid auto) — the production path for large batches."""
+    const, tables, _ = pm3_row3
+    # mixed batch: H2S, CH3SH-ish, H2O (row-2 control), CH4
+    sp = np.zeros((4, 8), np.int32)
+    co = np.zeros((4, 8, 3))
+    sp[0, :3] = [16, 1, 1]
+    co[0, 1] = [1.34, 0, 0]; co[0, 2] = [-0.1, 1.33, 0]
+    sp[1, :6] = [16, 6, 1, 1, 1, 1]
+    co[1, 1] = [1.81, 0, 0]; co[1, 2] = [-0.45, 1.24, 0]
+    co[1, 3] = [2.16, 0.51, 0.89]; co[1, 4] = [2.16, 0.51, -0.89]
+    co[1, 5] = [2.16, -1.03, 0.0]
+    sp[2, :3] = [8, 1, 1]
+    co[2, 1] = [0.0, 0.76, -0.59]; co[2, 2] = [0.0, -0.76, -0.59]
+    sp[3, :5] = [6, 1, 1, 1, 1]
+    d = 1.09 / np.sqrt(3.0)
+    co[3, 1] = [d, d, d]; co[3, 2] = [-d, -d, d]
+    co[3, 3] = [-d, d, -d]; co[3, 4] = [d, -d, -d]
+
+    species = jnp.asarray(sp)
+    coords = jnp.asarray(co, jnp.float64)
+    K = pq.packed_heavy_count(sp)
+
+    cfg_flat = pq.SEQMConfig(method="PM3", row3=True, pack_pairs=False,
+                             dense_pair_grid=False,
+                             scf=SCFConfig(eps=1.0e-10, converger=(2,)))
+    cfg_pack = pq.SEQMConfig(method="PM3", row3=True,
+                             scf=SCFConfig(eps=1.0e-10, converger=(2,),
+                                           pack_heavy=K))
+    f1, o1 = jax.jit(lambda c: pq.force(const, tables, cfg_flat, species,
+                                        c))(coords)
+    f2, o2 = jax.jit(lambda c: pq.force(const, tables, cfg_pack, species,
+                                        c))(coords)
+    assert not np.asarray(o1.notconverged).any()
+    assert not np.asarray(o2.notconverged).any()
+    np.testing.assert_allclose(np.asarray(o2.Hf), np.asarray(o1.Hf),
+                               atol=1e-9)
+    np.testing.assert_allclose(np.asarray(f2), np.asarray(f1), atol=1e-8)
