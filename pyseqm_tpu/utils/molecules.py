@@ -41,7 +41,20 @@ MOLECULES = {
          [-0.5096, -0.8826, 1.1573], [-1.0192, 0.0, -1.1573],
          [0.5096, -0.8826, -1.1573], [0.5096, 0.8826, -1.1573]],
     ),
+    # row-3 set (SEQMConfig.row3 — beyond the reference's coverage)
+    "H2S": (
+        [16, 1, 1],
+        [[0.0, 0.0, 0.0], [1.2903, 0.0, 0.0], [-0.079, 1.288, 0.0]],
+    ),
+    "CH3SH": (
+        [16, 6, 1, 1, 1, 1],
+        [[0.0, 0.0, 0.0], [1.81, 0.0, 0.0], [-0.45, 1.24, 0.0],
+         [2.16, 0.51, 0.89], [2.16, 0.51, -0.89], [2.16, -1.03, 0.0]],
+    ),
 }
+
+DEFAULT_NAMES = ("CH2O", "H2O", "CH4", "NH3", "CH3OH", "C2H6")
+ROW3_NAMES = DEFAULT_NAMES + ("H2S", "CH3SH")
 
 
 def make_alkane(n_carbons: int) -> Tuple[np.ndarray, np.ndarray]:
@@ -85,7 +98,9 @@ def make_batch(nmol: int, molsize: int = 8, names: Sequence[str] = None,
     batched while_loops (SP2 kernel programs, SCF) run each block only to
     its own slowest member instead of every block running to the global
     max — a construction-time batching choice, zero runtime cost."""
-    names = [n for n in (names or MOLECULES.keys())
+    # default set pinned to the original six: benches and goldens are
+    # built on it, and the row-3 entries need SEQMConfig.row3
+    names = [n for n in (names or DEFAULT_NAMES)
              if len(MOLECULES[n][0]) <= molsize]
     rng = np.random.RandomState(seed)
     species = np.zeros((nmol, molsize), dtype=np.int32)
