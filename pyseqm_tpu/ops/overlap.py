@@ -366,9 +366,13 @@ def diatom_overlap_xh(qni, qnj, xij, rij, zeta_i, zsj, precise=False,
             rij, zsi, zpi, zsj, f + 1.0, jcall2, jcall3, jcall3 & False,
             False, mode=3)
     if row3:
-        from .overlap_general import s_combinations_general
+        from .overlap_general import (s_combinations_general,
+                                      s_combinations_general_tf)
+        gen = (s_combinations_general_tf
+               if precise and dtype == jnp.float32 else
+               s_combinations_general)
         mk = (qni == 3) & (qnj == 1)
-        g = s_combinations_general(3, 1, rij, zsi, zpi, zsj, f + 1.0)
+        g = gen(3, 1, rij, zsi, zpi, zsj, f + 1.0)
         S111 = jnp.where(mk, g[0], S111)
         S211 = jnp.where(mk, g[1], S211)
     v = _reg_v(xij)
@@ -428,10 +432,14 @@ def diatom_overlap(qni, qnj, xij, rij, zeta_i, zeta_j, precise=False,
             rij, zsi, zpi, zsj, zpj, jcall2, jcall3, jcall4, False)
 
     if row3:
-        from .overlap_general import s_combinations_general
+        from .overlap_general import (s_combinations_general,
+                                      s_combinations_general_tf)
+        gen = (s_combinations_general_tf
+               if precise and dtype == jnp.float32 else
+               s_combinations_general)
         for (na, nb) in ((3, 1), (3, 2), (3, 3)):
             mk = (qni == na) & (qnj == nb)
-            g = s_combinations_general(na, nb, rij, zsi, zpi, zsj, zpj)
+            g = gen(na, nb, rij, zsi, zpi, zsj, zpj)
             S111 = jnp.where(mk, g[0], S111)
             S211 = jnp.where(mk, g[1], S211)
             if nb > 1:

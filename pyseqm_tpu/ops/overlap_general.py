@@ -32,6 +32,7 @@ from __future__ import annotations
 import functools
 import math
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -190,3 +191,107 @@ def s_combinations_general(na: int, nb: int, rij, zsi, zpi, zsj, zpj):
     S221 = -_combination(na, 1, nb, 1, False, rij, zpi, zpj)
     S222 = _combination(na, 1, nb, 1, True, rij, zpi, zpj)
     return S111, S211, S121, S221, S222
+
+
+# ---------------------------------------------------------------------------
+# double-float (hi, lo) evaluation — the f32 production chain
+# ---------------------------------------------------------------------------
+
+def _a_integrals_n_tf(x0, kmax: int):
+    """A_k in TwoFloat (cf. overlap.a_integrals_tf, generalized k)."""
+    from .overlap import _exp_tf2
+    from .xsum import TwoFloat, tf_recip
+    mask = x0.hi != 0.0
+    x = TwoFloat(jnp.where(mask, x0.hi, 1.0e4), jnp.where(mask, x0.lo, 0.0))
+    u = tf_recip(x)
+    e = _exp_tf2(-x)
+    a = [e * u]
+    for k in range(1, kmax + 1):
+        a.append(a[0] + float(k) * (a[-1] * u))
+    return a
+
+
+def _b_integrals_n_tf(x0, kmax: int, taylor_terms: int = 16):
+    """B_k in TwoFloat: exact recursion for |x| > 0.5, 16-term Taylor
+    otherwise (cf. overlap.b_integrals_tf, generalized k)."""
+    from .overlap import _exp_tf2, _where_tf
+    from .xsum import TwoFloat, tf_const, tf_recip
+    exact = jnp.abs(x0.hi) > 0.5
+
+    xs_hi = jnp.clip(jnp.where(exact, x0.hi, 1.0), -85.0, 85.0)
+    xs_lo = jnp.where(exact & (jnp.abs(x0.hi) <= 85.0), x0.lo, 0.0)
+    xe = TwoFloat(xs_hi, xs_lo)
+    u = tf_recip(xe)
+    ep = _exp_tf2(xe)
+    em = tf_recip(ep)
+    tx = ep * u
+    tmx = -(em * u)
+    be = [tx + tmx]
+    for k in range(1, kmax + 1):
+        sgn = tx if k % 2 == 0 else -tx
+        be.append(sgn + tmx + float(k) * (be[-1] * u))
+
+    xt = TwoFloat(jnp.where(exact, 0.0, x0.hi), jnp.where(exact, 0.0, x0.lo))
+    bt = []
+    for k in range(kmax + 1):
+        # Horner in x^2 over the even/odd series as appropriate
+        js = [j for j in range(taylor_terms + 1) if (k + j) % 2 == 0]
+        coefs = [((-1.0) ** j) / math.factorial(j) * 2.0 / (k + j + 1)
+                 for j in js]
+        x2 = xt * xt
+        acc = tf_const(coefs[-1]) + jnp.zeros_like(x0.hi)
+        for c in reversed(coefs[:-1]):
+            acc = acc * x2 + tf_const(c)
+        if js and js[0] % 2 == 1:
+            acc = acc * xt
+        bt.append(acc)
+
+    return [_where_tf(exact, be[k], bt[k]) for k in range(kmax + 1)]
+
+
+def _combination_tf(na, la, nb, lb, pi, rij, za, zb):
+    """_combination with the A/B chain and combination sum in TwoFloat
+    (the cancellation-capable part); the prefactor stays plain f32 (pure
+    product, no cancellation)."""
+    from .overlap import _arg_tf
+    c = overlap_coeffs(na, la, nb, lb, pi)
+    km = max(c.shape[0], c.shape[1]) - 1
+    A = _a_integrals_n_tf(_arg_tf(rij, za, zb, 1.0), km)
+    B = _b_integrals_n_tf(_arg_tf(rij, za, zb, -1.0), km)
+    s = None
+    for k in range(c.shape[0]):
+        for l in range(c.shape[1]):
+            if c[k, l] != 0.0:
+                t = float(c[k, l]) * (A[k] * B[l])
+                s = t if s is None else s + t
+    return _prefactor(na, la, nb, lb, pi, za, zb, rij) * s.value()
+
+
+@functools.lru_cache(maxsize=None)
+def _make_s_combinations_general_tf(na: int, nb: int):
+    """custom_jvp wrapper: double-float primal, plain-f32 tangent
+    (same rationale as overlap._make_s_combinations_tf — AD through the
+    two_sum trees is the dominant backward cost, and force noise floors
+    sit orders above the plain/double-float derivative gap)."""
+
+    @jax.custom_jvp
+    def s_tf(rij, zsi, zpi, zsj, zpj):
+        S111 = _combination_tf(na, 0, nb, 0, False, rij, zsi, zsj)
+        S211 = _combination_tf(na, 1, nb, 0, False, rij, zpi, zsj)
+        S121 = -_combination_tf(na, 0, nb, 1, False, rij, zsi, zpj)
+        S221 = -_combination_tf(na, 1, nb, 1, False, rij, zpi, zpj)
+        S222 = _combination_tf(na, 1, nb, 1, True, rij, zpi, zpj)
+        return S111, S211, S121, S221, S222
+
+    @s_tf.defjvp
+    def s_tf_jvp(primals, tangents):
+        out = s_tf(*primals)
+        _, dout = jax.jvp(
+            lambda *a: s_combinations_general(na, nb, *a), primals, tangents)
+        return out, dout
+
+    return s_tf
+
+
+def s_combinations_general_tf(na: int, nb: int, rij, zsi, zpi, zsj, zpj):
+    return _make_s_combinations_general_tf(na, nb)(rij, zsi, zpi, zsj, zpj)

@@ -183,3 +183,26 @@ def test_general_overlap_matches_hand_coded():
             assert exact.sum() > 50
             d = np.abs(h - np.asarray(g))[exact].max()
             assert d < 1e-13, (na, nb, ci, d)
+
+
+def test_general_overlap_doublefloat_accuracy():
+    """The double-float general-overlap chain (f32 production path for
+    row-3 pairs) matches the f64 evaluation to ~2e-7; the plain f32
+    chain loses up to 4.5e-3 on the (3,3) class (the high-k A/B
+    combination sums cancel severely)."""
+    from pyseqm_tpu.ops.overlap_general import (s_combinations_general,
+                                                s_combinations_general_tf)
+    rng = np.random.default_rng(1)
+    N = 256
+    r64 = rng.uniform(0.8, 8.0, N)
+    zs = [rng.uniform(0.8, 3.5, N) for _ in range(4)]
+    rij64 = jnp.asarray(r64)
+    z64 = [jnp.asarray(z) for z in zs]
+    rij32 = jnp.asarray(r64, jnp.float32)
+    z32 = [jnp.asarray(z, jnp.float32) for z in zs]
+    for (na, nb) in ((3, 1), (3, 2), (3, 3)):
+        g64 = s_combinations_general(na, nb, rij64, *z64)
+        t32 = s_combinations_general_tf(na, nb, rij32, *z32)
+        d = max(float(jnp.abs(jnp.asarray(a, jnp.float64) - b).max())
+                for a, b in zip(t32, g64))
+        assert d < 1.0e-6, (na, nb, d)
