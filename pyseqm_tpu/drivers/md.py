@@ -157,38 +157,51 @@ class MolecularDynamics:
     """NVE velocity-Verlet driver (cf. Molecular_Dynamics_Basic)."""
 
     def __init__(self, const: Constants, tables, seqm_cfg: SEQMConfig,
-                 md_cfg: MDConfig = MDConfig(), learned=None, timing=None):
+                 md_cfg: MDConfig = MDConfig(), learned=None, timing=None,
+                 charges=None):
         self.const = const
         self.tables = tables
         self.seqm_cfg = seqm_cfg
         self.md_cfg = md_cfg
         self.learned = learned
         self._chunk_fn = None
+        # net molecular charges (nmol,), threaded into every energy/force
+        # evaluation (the reference forwards a `charges` kwarg from its
+        # drivers into Energy/Parser, MolecularDynamics.py:335 ->
+        # basics.py:69-71, so ionic MD works)
+        self.charges = None if charges is None else jnp.asarray(charges)
         # opt-in phase wall-clock accounting (cf. Constants.do_timing,
         # reference constants.py:133-140): pass a utils.timing.Timing()
         self.timing = timing
 
+    def _charges_arg(self, charges):
+        return self.charges if charges is None else charges
+
     # -- force model ---------------------------------------------------
-    def compute_force(self, species, state: MDState):
+    def compute_force(self, species, state: MDState, charges=None):
         """(force, P, Epot-per-mol).  Override for thermo-/bias-forces."""
+        charges = self._charges_arg(charges)
 
         def loss(coords):
             out = energy(self.const, self.tables, self.seqm_cfg, species,
-                         coords, learned=self.learned, P0=state.P)
+                         coords, learned=self.learned, P0=state.P,
+                         charges=charges)
             return jnp.sum(out.Hf), out
 
         g, out = jax.grad(loss, has_aux=True)(state.coordinates)
         return -g, out.P, out.Hf
 
     # -- one velocity-Verlet step --------------------------------------
-    def step(self, species, state: MDState) -> Tuple[MDState, Observables]:
+    def step(self, species, state: MDState,
+             charges=None) -> Tuple[MDState, Observables]:
         dt = self.md_cfg.timestep
         mass = atom_masses(self.const, species)
 
         v = state.velocities + 0.5 * state.acc * dt
         x = state.coordinates + v * dt
         st1 = dataclasses.replace(state, coordinates=x, velocities=v)
-        force, P, Epot = self.compute_force(species, st1)
+        force, P, Epot = self.compute_force(species, st1,
+                                            self._charges_arg(charges))
         acc = force / mass * ACC_SCALE
         v = v + 0.5 * acc * dt
         state = dataclasses.replace(
@@ -232,6 +245,8 @@ class MolecularDynamics:
         through the remote-TPU tunnel, which made the bootstrap SCF take
         ~10 minutes at 512 molecules (the r3 bomd-bench 50-min timeout
         was entirely this)."""
+        from ..models.energy import check_species
+        check_species(self.seqm_cfg, self.tables, species, self.charges)
         key = key if key is not None else jax.random.PRNGKey(0)
         have_vel = velocities is not None
 
@@ -295,11 +310,15 @@ class MolecularDynamics:
         inside one compiled chunk."""
         chunks = {}
 
-        def get_chunk(n):
-            if n not in chunks:
-                chunks[n] = self._build_chunk(species, n,
-                                              with_frames=bool(dump))
-            return chunks[n]
+        def get_chunk(n, frames):
+            # per-step frame stacks (3 full-system arrays x chunk length)
+            # are scanned out only for chunks that actually contain a dump
+            # boundary — at headline batch sizes the stacks dominate the
+            # chunk's HBM output, so boundary-free chunks skip them
+            if (n, frames) not in chunks:
+                chunks[(n, frames)] = self._build_chunk(species, n,
+                                                        with_frames=frames)
+            return chunks[(n, frames)]
 
         done = 0
         if log:
@@ -308,14 +327,15 @@ class MolecularDynamics:
         mass = atom_masses(self.const, species)
         while done < steps:
             n = min(thermo, steps - done)
+            want_frames = bool(dump) and (done + n) // dump > done // dump
             if self.timing is not None:
                 with self.timing.phase("MD"):
-                    state, obs = get_chunk(n)(state)
+                    state, obs = get_chunk(n, want_frames)(state)
                     jax.block_until_ready(obs)
             else:
-                state, obs = get_chunk(n)(state)
+                state, obs = get_chunk(n, want_frames)(state)
             frames = None
-            if dump:
+            if want_frames:
                 obs, frames = obs
             prev = done
             done += n
@@ -330,7 +350,7 @@ class MolecularDynamics:
                     f"{float(last.dipole[m, 2]):.6e}"
                     for m in molids)
                 print(f"{done:6d} {cols}", flush=True)
-            if dump and (done // dump) > (prev // dump):
+            if want_frames:
                 xs, vs, accs = frames
                 for s in range(n):
                     gstep = prev + s + 1
@@ -411,10 +431,10 @@ class NoseHooverDynamics(MolecularDynamics):
         base = dataclasses.replace(st.base, velocities=v)
         return NHState(base=base, vxi=vxi, xi=xi)
 
-    def step(self, species, st: "NHState"):
+    def step(self, species, st: "NHState", charges=None):
         dt = self.md_cfg.timestep
         st = self._nhc_half(species, st, dt)
-        base, obs = super().step(species, st.base)
+        base, obs = super().step(species, st.base, charges)
         st = NHState(base=base, vxi=st.vxi, xi=st.xi)
         st = self._nhc_half(species, st, dt)
         # report Ek/T of the *returned* (post-thermostat) velocities, not
@@ -456,8 +476,8 @@ class LangevinDynamics(MolecularDynamics):
     """NVT Langevin thermostat (LAMMPS formula, MolecularDynamics.py:395-432):
     F = Fc - (m/damp) v + sqrt(2 kB T m / (dt damp)) N(0,1)."""
 
-    def compute_force(self, species, state: MDState):
-        Fc, P, Epot = super().compute_force(species, state)
+    def compute_force(self, species, state: MDState, charges=None):
+        Fc, P, Epot = super().compute_force(species, state, charges)
         cfg = self.md_cfg
         mass = atom_masses(self.const, species)
         Ff = -mass * state.velocities / cfg.damp / ACC_SCALE

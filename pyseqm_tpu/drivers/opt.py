@@ -15,10 +15,10 @@ from ..constants import Constants
 from ..models.energy import SEQMConfig, energy, force
 
 
-def _force_fn(const, tables, cfg, species, learned):
+def _force_fn(const, tables, cfg, species, learned, charges=None):
     def f(coords, P0):
         frc, out = force(const, tables, cfg, species, coords, learned=learned,
-                         P0=P0)
+                         P0=P0, charges=charges)
         return frc, out.P, out.Hf
     return jax.jit(f)
 
@@ -26,7 +26,7 @@ def _force_fn(const, tables, cfg, species, learned):
 def geometry_optimize_sd(
     const: Constants, tables, cfg: SEQMConfig, species, coordinates,
     alpha: float = 0.01, force_tol: float = 1.0e-4, max_evl: int = 1000,
-    learned=None, log: bool = False, chunk: int = 0,
+    learned=None, log: bool = False, chunk: int = 0, charges=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Fixed-step steepest descent; returns (coords, max|F|, dE).
 
@@ -38,10 +38,10 @@ def geometry_optimize_sd(
     from ..scf import init_density
     from ..system import make_system
 
-    P = init_density(const, make_system(const, species, coordinates))
+    P = init_density(const, make_system(const, species, coordinates, charges))
     if chunk > 0:
         run = _make_sd_chunk(const, tables, cfg, species, alpha, force_tol,
-                             chunk, learned)
+                             chunk, learned, charges)
         done = jnp.zeros((), bool)
         nit = jnp.zeros((), jnp.int32)
         Lprev = jnp.zeros((), coordinates.dtype)
@@ -56,7 +56,7 @@ def geometry_optimize_sd(
                 break
         return coordinates, jnp.asarray(ferr), jnp.asarray(eerr)
 
-    f = _force_fn(const, tables, cfg, species, learned)
+    f = _force_fn(const, tables, cfg, species, learned, charges)
     Lold = None
     ferr = eerr = float("inf")
     for i in range(max_evl):
@@ -73,7 +73,7 @@ def geometry_optimize_sd(
 
 
 def _make_sd_chunk(const, tables, cfg, species, alpha, force_tol, chunk,
-                   learned):
+                   learned, charges=None):
     """One jitted SD chunk: scan `chunk` force+step iterations, freezing
     the whole batch once max|F| <= force_tol (per-molecule freeze would
     save nothing: batched programs run to their slowest member)."""
@@ -83,7 +83,7 @@ def _make_sd_chunk(const, tables, cfg, species, alpha, force_tol, chunk,
         def body(carry, _):
             coords, P, done, nit, Lprev, first = carry
             frc, out = force(const, tables, cfg, species, coords,
-                             learned=learned, P0=P)
+                             learned=learned, P0=P, charges=charges)
             ferr = jnp.max(jnp.abs(frc))
             Lmean = jnp.sum(out.Hf) / out.Hf.shape[0]
             dE = jnp.where(first, jnp.inf, Lmean - Lprev)
@@ -104,25 +104,26 @@ def _make_sd_chunk(const, tables, cfg, species, alpha, force_tol, chunk,
 def geometry_optimize_sd_ls(
     const: Constants, tables, cfg: SEQMConfig, species, coordinates,
     alpha: float = 0.01, force_tol: float = 1.0e-4, max_evl: int = 1000,
-    learned=None, log: bool = False,
+    learned=None, log: bool = False, charges=None,
 ):
     """Steepest descent with a 5-candidate per-molecule line search
     (cf. Geometry_Optimization_SD_LS.onestep, MolecularDynamics.py:28-41)."""
     from ..scf import init_density
     from ..system import make_system
 
-    f = _force_fn(const, tables, cfg, species, learned)
+    f = _force_fn(const, tables, cfg, species, learned, charges)
     candidates = jnp.asarray([0.5, 0.75, 1.0, 1.25, 1.5])
 
     @jax.jit
     def ls_energies(coords, frc, trial, P0):
         def one(a_col):  # (nmol,) step sizes for one candidate
             out = energy(const, tables, cfg, species,
-                         coords + frc * a_col[:, None, None], P0=P0)
+                         coords + frc * a_col[:, None, None], P0=P0,
+                         charges=charges)
             return out.Etot
         return jax.vmap(one, in_axes=1)(trial)  # (5, nmol)
 
-    P = init_density(const, make_system(const, species, coordinates))
+    P = init_density(const, make_system(const, species, coordinates, charges))
     alphas = jnp.full((species.shape[0],), alpha, dtype=coordinates.dtype)
     ferr = float("inf")
     for i in range(max_evl):
@@ -142,7 +143,7 @@ def geometry_optimize_sd_ls(
 
 def make_lbfgs(const: Constants, tables, cfg: SEQMConfig, species,
                learned=None, linesearch: str = "zoom",
-               max_linesearch_steps: int = 15):
+               max_linesearch_steps: int = 15, charges=None):
     """Build a batched L-BFGS stepper: returns (init_fn, step_fn).
 
     step_fn(coords, state) -> (new_coords, state, value, max|grad|), one
@@ -163,7 +164,8 @@ def make_lbfgs(const: Constants, tables, cfg: SEQMConfig, species,
     amask = (species > 0)[..., None]
 
     def val(coords):
-        out = energy(const, tables, cfg, species, coords, learned=learned)
+        out = energy(const, tables, cfg, species, coords, learned=learned,
+                     charges=charges)
         return jnp.sum(out.Hf)
 
     if linesearch == "backtracking":
@@ -189,7 +191,7 @@ def make_lbfgs(const: Constants, tables, cfg: SEQMConfig, species,
 def make_lbfgs_chunk(const: Constants, tables, cfg: SEQMConfig, species,
                      chunk: int, force_tol: float = 0.0, learned=None,
                      linesearch: str = "zoom",
-                     max_linesearch_steps: int = 15):
+                     max_linesearch_steps: int = 15, charges=None):
     """Scan-chunked L-BFGS: `chunk` outer iterations per dispatch.
 
     The per-iteration host loop (:func:`make_lbfgs`) syncs max|grad| to
@@ -209,7 +211,8 @@ def make_lbfgs_chunk(const: Constants, tables, cfg: SEQMConfig, species,
     amask = (species > 0)[..., None]
 
     def val(coords):
-        out = energy(const, tables, cfg, species, coords, learned=learned)
+        out = energy(const, tables, cfg, species, coords, learned=learned,
+                     charges=charges)
         return jnp.sum(out.Hf)
 
     if linesearch == "backtracking":
@@ -260,12 +263,14 @@ class _WarmLBFGSState(NamedTuple):
     idx: jnp.ndarray      # next ring slot
     done: jnp.ndarray     # (nmol,) per-molecule convergence freeze
     nit: jnp.ndarray      # iterations that advanced at least one molecule
+    bad: jnp.ndarray      # (nmol,) consecutive forced (non-Armijo) accepts
 
 
 def make_lbfgs_warm(const: Constants, tables, cfg: SEQMConfig, species,
                     chunk: int = 10, force_tol: float = 1.0e-3,
                     hist: int = 8, c1: float = 1.0e-4, shrink: float = 0.5,
-                    max_backtrack: int = 8, learned=None):
+                    max_backtrack: int = 8, learned=None, charges=None,
+                    max_forced: int = 3):
     """Batched L-BFGS with SCF warm starts (the production optimizer).
 
     Differences vs the optax path (:func:`make_lbfgs_chunk`) that made it
@@ -302,7 +307,8 @@ def make_lbfgs_warm(const: Constants, tables, cfg: SEQMConfig, species,
     def eval_vg(xflat, P0):
         def loss(c):
             out = energy(const, tables, cfg, species,
-                         c.reshape(nmol, A, 3), learned=learned, P0=P0)
+                         c.reshape(nmol, A, 3), learned=learned, P0=P0,
+                         charges=charges)
             return jnp.sum(out.Hf), (out.Hf, out.P)
         (_, (Hf, P)), g = jax.value_and_grad(loss, has_aux=True)(xflat)
         return Hf, jnp.where(amask, g, 0.0), jax.lax.stop_gradient(P)
@@ -323,7 +329,8 @@ def make_lbfgs_warm(const: Constants, tables, cfg: SEQMConfig, species,
             rho=jnp.zeros((hist, nmol), x.dtype),
             idx=jnp.zeros((), jnp.int32),
             done=jnp.zeros((nmol,), bool),
-            nit=jnp.zeros((), jnp.int32))
+            nit=jnp.zeros((), jnp.int32),
+            bad=jnp.zeros((nmol,), jnp.int32))
 
     def direction(st: _WarmLBFGSState):
         """Two-loop recursion, batched over molecules; empty ring slots
@@ -364,24 +371,28 @@ def make_lbfgs_warm(const: Constants, tables, cfg: SEQMConfig, species,
             return (~jnp.all(acc)) & (k < max_backtrack)
 
         def bt_body(c):
-            t, acc, k, xb, Eb, gb, Pb = c
+            t, acc, k, xb, Eb, gb, Pb, fb = c
             xc = jnp.where(acc[:, None], xb, st.x + t[:, None] * d)
             Ec, gc, Pc = eval_vg(xc, st.P)
             ok = Ec <= st.E + c1 * t * dg
-            take = ok & ~acc
             # the final pass force-accepts whatever remains so the
-            # optimizer cannot stall on a molecule with a bad model step
-            take = take | ((k == max_backtrack - 1) & ~acc)
+            # optimizer cannot stall on a molecule with a bad model step;
+            # forced accepts are flagged and counted in outer() so a
+            # molecule cannot walk uphill indefinitely
+            forced = (k == max_backtrack - 1) & ~acc & ~ok
+            take = (ok & ~acc) | forced
             xb = jnp.where(take[:, None], xc, xb)
             Eb = jnp.where(take, Ec, Eb)
             gb = jnp.where(take[:, None], gc, gb)
             Pb = jnp.where(take[..., None, None], Pc, Pb)
             t = jnp.where(take | acc, t, t * shrink)
-            return (t, acc | take, k + 1, xb, Eb, gb, Pb)
+            return (t, acc | take, k + 1, xb, Eb, gb, Pb, fb | forced)
 
         t0 = jnp.ones((nmol,), st.x.dtype)
-        c0 = (t0, st.done, jnp.zeros((), jnp.int32), st.x, st.E, st.g, st.P)
-        _, _, _, xn, En, gn, Pn = jax.lax.while_loop(bt_cond, bt_body, c0)
+        c0 = (t0, st.done, jnp.zeros((), jnp.int32), st.x, st.E, st.g, st.P,
+              jnp.zeros((nmol,), bool))
+        _, _, _, xn, En, gn, Pn, forced = jax.lax.while_loop(
+            bt_cond, bt_body, c0)
 
         s = xn - st.x
         y = gn - st.g
@@ -392,11 +403,15 @@ def make_lbfgs_warm(const: Constants, tables, cfg: SEQMConfig, species,
         rho = st.rho.at[st.idx].set(
             jnp.where(ok, 1.0 / jnp.where(ok, sy, 1.0), 0.0))
         gerr = jnp.max(jnp.abs(gn), axis=-1)
-        done = st.done | (gerr <= force_tol)
+        # a molecule repeatedly failing Armijo (max_forced consecutive
+        # forced accepts) is frozen: its model steps are not descending,
+        # so further iterations could walk it uphill indefinitely
+        bad = jnp.where(forced & ~st.done, st.bad + 1, 0)
+        done = st.done | (gerr <= force_tol) | (bad >= max_forced)
         return _WarmLBFGSState(
             x=xn, E=En, g=gn, P=Pn, S=S, Y=Y, rho=rho,
             idx=(st.idx + 1) % hist, done=done,
-            nit=st.nit + (~jnp.all(st.done)))
+            nit=st.nit + (~jnp.all(st.done)), bad=bad)
 
     @jax.jit
     def run(st: _WarmLBFGSState):
@@ -412,19 +427,42 @@ def make_lbfgs_warm(const: Constants, tables, cfg: SEQMConfig, species,
 def geometry_optimize_lbfgs(
     const: Constants, tables, cfg: SEQMConfig, species, coordinates,
     force_tol: float = 1.0e-4, max_evl: int = 300, learned=None,
-    log: bool = False, linesearch: str = "zoom", chunk: int = 0,
+    log: bool = False, linesearch: Optional[str] = None, chunk: int = 0,
+    charges=None,
 ):
     """Batched L-BFGS via optax (the production path; the reference drives
     scipy L-BFGS-B with its energy+grad predictor, examples/opt.py:63-79).
 
     ``chunk > 0`` scans `chunk` iterations per dispatch with an on-device
-    convergence freeze using the warm-start batched L-BFGS
-    (:func:`make_lbfgs_warm` — per-molecule Armijo backtracking with the
-    converged density threaded through every SCF)."""
+    convergence freeze.  By default (``linesearch=None``) the chunked path
+    uses the warm-start batched L-BFGS (:func:`make_lbfgs_warm` —
+    per-molecule Armijo backtracking with the converged density threaded
+    through every SCF); an explicit optax linesearch name ("zoom",
+    "backtracking", "none") routes to :func:`make_lbfgs_chunk` so the
+    request is honored rather than silently ignored.  With ``chunk=0``
+    the per-iteration optax host loop runs (default linesearch "zoom")."""
+    if chunk > 0 and linesearch is not None:
+        init, run = make_lbfgs_chunk(const, tables, cfg, species,
+                                     chunk=chunk, force_tol=force_tol,
+                                     learned=learned, linesearch=linesearch,
+                                     charges=charges)
+        state = init(coordinates)
+        done = jnp.zeros((), bool)
+        nit = jnp.zeros((), jnp.int32)
+        ferr = float("inf")
+        for c in range(-(-max_evl // chunk)):
+            coordinates, state, done, nit, value, ferr_d = run(
+                coordinates, state, done, nit)
+            ferr = float(ferr_d)
+            if log:
+                print(f"{int(nit)} {ferr:e} {float(value):e}")
+            if bool(done):
+                break
+        return coordinates, jnp.asarray(ferr), int(nit)
     if chunk > 0:
         init, run = make_lbfgs_warm(const, tables, cfg, species,
                                     chunk=chunk, force_tol=force_tol,
-                                    learned=learned)
+                                    learned=learned, charges=charges)
         state = init(coordinates)
         ferr = float("inf")
         for c in range(-(-max_evl // chunk)):
@@ -438,7 +476,7 @@ def geometry_optimize_lbfgs(
         return state.x.reshape(nmol, A, 3), jnp.asarray(ferr), int(state.nit)
 
     init, step = make_lbfgs(const, tables, cfg, species, learned=learned,
-                            linesearch=linesearch)
+                            linesearch=linesearch or "zoom", charges=charges)
     state = init(coordinates)
     ferr = jnp.inf
     iters = 0

@@ -126,8 +126,9 @@ class XLBOMD(MolecularDynamics):
         if initial_force:
             st = super().initialize(species, coordinates, velocities, key, Temp)
         else:
-            from ..models.energy import energy
+            from ..models.energy import check_species, energy
             from .md import MDState, initialize_velocity, kinetic_energy
+            check_species(self.seqm_cfg, self.tables, species, self.charges)
             key = key if key is not None else jax.random.PRNGKey(0)
             have_vel = velocities is not None
 
@@ -139,7 +140,8 @@ class XLBOMD(MolecularDynamics):
                     velocities = initialize_velocity(
                         self.const, species, coordinates, k1, Temp)
                 out = energy(self.const, self.tables, self.seqm_cfg, species,
-                             coordinates, learned=self.learned)
+                             coordinates, learned=self.learned,
+                             charges=self.charges)
                 Ek, _ = kinetic_energy(self.const, species, velocities)
                 return MDState(coordinates=coordinates, velocities=velocities,
                                acc=jnp.zeros_like(coordinates),
@@ -155,7 +157,8 @@ class XLBOMD(MolecularDynamics):
             coordinates=st.coordinates, velocities=st.velocities, acc=st.acc,
             D=D, P=D, Pt=Pt, E0=st.E0, key=st.key, step=jnp.asarray(0))
 
-    def step(self, species, state: XLBOMDState):
+    def step(self, species, state: XLBOMDState, charges=None):
+        charges = self._charges_arg(charges)
         dt = self.md_cfg.timestep
         mass = atom_masses(self.const, species)
 
@@ -176,7 +179,8 @@ class XLBOMD(MolecularDynamics):
                                   species, x,
                                   P if packed_io
                                   else self._unpack_mat(P, species.shape[1]),
-                                  self.learned, packed_io=packed_io)
+                                  self.learned, charges=charges,
+                                  packed_io=packed_io)
         acc = force / mass * ACC_SCALE
         v = v + 0.5 * acc * dt
         state = dataclasses.replace(

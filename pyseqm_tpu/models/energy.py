@@ -264,6 +264,40 @@ def _nuclear_term(const, sys, w, cfg, p, gam=None):
     return pair_nuclear_energy(const, sys, gam, cfg.method, p), None
 
 
+def check_species(cfg: SEQMConfig, tables, species,
+                  charges=None) -> None:
+    """Host-side species/config cross-checks (no-op under jit tracing).
+
+    Runs the reference Parser's runtime assertions (basics.py:43-118 via
+    system.validate: element range, descending-Z sort, closed shell) plus
+    two checks the split row-3 switches made necessary: a batch containing
+    row-3 atoms (Na..Cl) with ``cfg.row3=False``, or an element whose
+    parameter row is all zero for the chosen method (e.g. AM1 Na/Mg),
+    would otherwise silently produce zero overlap/resonance blocks and
+    wrong energies.
+    """
+    import numpy as np
+    if isinstance(species, jax.core.Tracer):
+        return  # inside jit: shapes only, values unavailable
+    charges_known = not isinstance(charges, jax.core.Tracer)
+    from ..system import validate
+    validate(np.asarray(species), charges if charges_known else None,
+             allow_row3=cfg.row3, check_parity=charges_known)
+    sp = np.asarray(species)
+    present = np.unique(sp[sp > 0])
+    if present.size == 0:
+        return
+    zs = tables.get("zeta_s")
+    if zs is not None and not isinstance(zs, jax.core.Tracer):
+        zrow = np.asarray(zs)[present]
+        if (zrow == 0).any():
+            bad = sorted(int(z) for z in present[zrow == 0])
+            raise ValueError(
+                f"elements Z={bad} have no {cfg.method} parameters "
+                "(all-zero rows in the published table) — energies would "
+                "be silently wrong")
+
+
 def energy(
     const: Constants,
     tables: Mapping[str, jnp.ndarray],
@@ -278,6 +312,7 @@ def energy(
 
     Mirrors Energy.forward (basics.py:271-346) with all_terms=True.
     """
+    check_species(cfg, tables, species, charges)
     with jax.default_matmul_precision(cfg.matmul_precision):
         return _energy_impl(const, tables, cfg, species, coordinates,
                             learned, P0, charges)

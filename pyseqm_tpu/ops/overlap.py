@@ -412,8 +412,11 @@ def diatom_overlap(qni, qnj, xij, rij, zeta_i, zeta_j, precise=False,
       row3: STATIC — additionally evaluate the (3,1)/(3,2)/(3,3)
         principal-quantum-number classes via the generated-coefficient
         machinery (ops/overlap_general.py).  EXCEEDS the reference, which
-        raises for any row-3 pair (diat_overlap.py:65-72); plain f32/f64
-        chain (no double-float variant).
+        raises for any row-3 pair (diat_overlap.py:65-72).  With
+        ``precise`` on f32 the row-3 primal also runs the double-float
+        chain (s_combinations_general_tf: high-k binomial cancellation
+        loses ~4.5e-3 in plain f32, ~2e-7 in tf) with the plain-f32
+        chain as its custom_jvp tangent — same policy as rows 1-2.
 
     Returns: (..., 4, 4) overlap in the molecular frame (rows: AOs on i).
     """

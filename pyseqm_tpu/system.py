@@ -153,8 +153,13 @@ def sort_species(species: np.ndarray, coordinates: np.ndarray):
 
 
 def validate(species: np.ndarray, charges: Optional[np.ndarray] = None,
-             tore: Optional[np.ndarray] = None, allow_row3: bool = False):
-    """Host-side checks mirroring the reference's runtime assertions."""
+             tore: Optional[np.ndarray] = None, allow_row3: bool = False,
+             check_parity: bool = True):
+    """Host-side checks mirroring the reference's runtime assertions.
+
+    ``check_parity=False`` skips the closed-shell (even electron count)
+    check — used when the net charges are traced values whose parity
+    cannot be known at trace time."""
     from .constants import _QN, _TORE, MAX_Z
 
     species = np.asarray(species)
@@ -178,6 +183,8 @@ def validate(species: np.ndarray, charges: Optional[np.ndarray] = None,
     if not (np.diff(species, axis=1) <= 0).all():
         raise ValueError("atoms must be sorted by descending atomic number "
                          "(use pyseqm_tpu.system.sort_species)")
+    if not check_parity:
+        return
     tore = np.asarray(_TORE) if tore is None else np.asarray(tore)
     n_charge = tore[species].sum(axis=1).astype(np.int64)
     if charges is not None:

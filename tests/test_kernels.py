@@ -185,42 +185,6 @@ def test_eigh_rescue_scoring():
     assert np.abs(np.asarray(fixed2[2]) - np.asarray(P[2])).max() < 5.0e-4
 
 
-def test_wapply_fused_kernel_matches_xla():
-    """Fused w-apply Pallas kernel (ops/wapply_pallas.py, interpret mode):
-    forward and all three cotangents (ri, U, X) match the XLA chain +
-    jax.vjp bit-close for every perm the Fock build uses."""
-    from pyseqm_tpu.ops.tetci import WPack, _w_apply
-    from pyseqm_tpu.ops.wapply_pallas import w_apply_fused
-
-    key = jax.random.PRNGKey(3)
-    n = 300                       # not a multiple of 128: exercises padding
-    k1, k2, k3, k4 = jax.random.split(key, 4)
-    ri = jax.random.normal(k1, (n, 22), jnp.float32)
-    u3 = jax.random.normal(k2, (n, 3, 3), jnp.float32)
-    U = (jnp.zeros((n, 4, 4), jnp.float32)
-         .at[:, 0, 0].set(1.0).at[:, 1:, 1:].set(u3))
-    X = jax.random.normal(k3, (n, 4, 4), jnp.float32)
-    Yb = jax.random.normal(k4, (n, 4, 4), jnp.float32)
-
-    for perm in ((1, 2, 3, 4), (1, 3, 2, 4), (3, 4, 1, 2)):
-        ref = jax.jit(
-            lambda ri, U, X: _w_apply(WPack(ri=ri, U=U), X, perm))(ri, U, X)
-        got = jax.jit(
-            lambda ri, U, X: w_apply_fused(ri, U, X, perm, True))(ri, U, X)
-        scale = float(jnp.abs(ref).max())
-        assert float(jnp.abs(ref - got).max()) < 3.0e-6 * scale, perm
-
-        f_ref = lambda ri, U, X: jnp.vdot(
-            _w_apply(WPack(ri=ri, U=U), X, perm), Yb)
-        f_got = lambda ri, U, X: jnp.vdot(
-            w_apply_fused(ri, U, X, perm, True), Yb)
-        gr = jax.jit(jax.grad(f_ref, argnums=(0, 1, 2)))(ri, U, X)
-        gg = jax.jit(jax.grad(f_got, argnums=(0, 1, 2)))(ri, U, X)
-        for a, b in zip(gr, gg):
-            s = float(jnp.abs(a).max())
-            assert float(jnp.abs(a - b).max()) < 3.0e-6 * max(s, 1.0), perm
-
-
 def test_sp2_kernel_n16_interpret_parity():
     """n=16 panel geometry (m=8 molecules per 128-lane tile) — the static
     compact-orbital size the headline batch packs to (pack_heavy)."""

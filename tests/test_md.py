@@ -194,3 +194,62 @@ def test_geometry_optimization_chunked_parity(golden):
     El = energy(const, tables, cfg, species, xl).Hf
     Em = energy(const, tables, cfg, species, xm).Hf
     np.testing.assert_allclose(np.asarray(Em), np.asarray(El), atol=1e-8)
+
+
+def _setup_charged(golden):
+    g = golden("am1_charged")
+    const = pq.make_constants(dtype=jnp.float64)
+    tables = pq.load_element_tables("AM1", dtype=jnp.float64)
+    species = jnp.asarray(g["species"], dtype=jnp.int32)
+    coords = jnp.asarray(g["coordinates"], dtype=jnp.float64)
+    charges = jnp.asarray(g["charges"], dtype=jnp.int32)
+    cfg = pq.SEQMConfig(method="AM1",
+                        scf=SCFConfig(eps=1.0e-10, converger=(2,)))
+    return g, const, tables, cfg, species, coords, charges
+
+
+def test_charged_energy_force_parity(golden):
+    """Ions (H3O+/NH4+/OH-): single-point energies and forces with net
+    charges match the reference (charges kwarg, basics.py:69-71)."""
+    from pyseqm_tpu.models.energy import force
+    g, const, tables, cfg, species, coords, charges = _setup_charged(golden)
+    f, out = jax.jit(lambda c: force(const, tables, cfg, species, c,
+                                     charges=charges))(coords)
+    np.testing.assert_allclose(np.asarray(out.Hf), g["Hf"], atol=1e-7)
+    np.testing.assert_allclose(np.asarray(out.Etot), g["Etot"], atol=1e-7)
+    np.testing.assert_allclose(np.asarray(f), g["force"], atol=1e-6)
+    # without charges the same species are odd-electron: the entry check
+    # mirrors the reference Parser raise (basics.py:73-74)
+    with pytest.raises(ValueError, match="closed-shell"):
+        force(const, tables, cfg, species, coords)
+
+
+def test_charged_nve_trajectory_parity(golden):
+    """Ionic NVE MD: net charges thread through the dynamics driver
+    (cf. reference MolecularDynamics.py:335 kwargs pass-through)."""
+    g, const, tables, cfg, species, coords, charges = _setup_charged(golden)
+    md = MolecularDynamics(const, tables, cfg, MDConfig(timestep=1.0),
+                           charges=charges)
+    state = md.initialize(species, coords * 1.03,
+                          velocities=jnp.zeros_like(coords))
+    state = md.run(species, state, steps=5, thermo=5, log=False)
+    np.testing.assert_allclose(np.asarray(state.coordinates),
+                               g["nve_coords"], atol=1e-7)
+    np.testing.assert_allclose(np.asarray(state.velocities),
+                               g["nve_vel"], atol=1e-7)
+
+
+def test_charged_geometry_optimization(golden):
+    """Ionic geometry optimization: charges thread through the warm
+    L-BFGS driver; hydronium/ammonium/hydroxide relax to max|F|<=1e-3."""
+    from pyseqm_tpu.drivers.opt import geometry_optimize_lbfgs
+    from pyseqm_tpu.models.energy import energy
+    g, const, tables, cfg, species, coords, charges = _setup_charged(golden)
+    x, ferr, nit = geometry_optimize_lbfgs(
+        const, tables, cfg, species, coords * 1.05, force_tol=1e-3,
+        max_evl=80, chunk=10, charges=charges)
+    assert float(ferr) <= 1e-3
+    E0 = energy(const, tables, cfg, species, coords * 1.05,
+                charges=charges).Hf
+    E1 = energy(const, tables, cfg, species, x, charges=charges).Hf
+    assert bool(jnp.all(E1 <= E0 + 1e-10))

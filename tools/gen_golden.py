@@ -280,6 +280,70 @@ def run_dissociation_golden(method):
           f"{int(notcnv.sum())}/{len(pairs)} unconverged")
 
 
+# charged closed-shell ions, molsize 5: H3O+ (+1), NH4+ (+1), OH- (-1)
+CHARGED_SPECIES = [[8, 1, 1, 1, 0], [7, 1, 1, 1, 1], [8, 1, 0, 0, 0]]
+CHARGED_COORDS = [
+    # hydronium: trigonal pyramid, O-H 0.98 A
+    [[0.0, 0.0, 0.0],
+     [0.9014, 0.0, 0.3854],
+     [-0.4507, 0.7806, 0.3854],
+     [-0.4507, -0.7806, 0.3854],
+     [0.0, 0.0, 0.0]],
+    # ammonium: tetrahedral, N-H 1.03 A
+    [[0.0, 0.0, 0.0],
+     [0.5947, 0.5947, 0.5947],
+     [-0.5947, -0.5947, 0.5947],
+     [-0.5947, 0.5947, -0.5947],
+     [0.5947, -0.5947, -0.5947]],
+    # hydroxide: O-H 0.96 A
+    [[0.0, 0.0, 0.0],
+     [0.96, 0.0, 0.0],
+     [0.0, 0.0, 0.0],
+     [0.0, 0.0, 0.0],
+     [0.0, 0.0, 0.0]],
+]
+CHARGED_Q = [1, 1, -1]
+
+
+def run_charged_golden(method="AM1", nve_steps=5):
+    """Charged-molecule goldens: single-point energies/forces and a
+    deterministic NVE trajectory with net charges threaded through the
+    reference drivers (MolecularDynamics.py:335 -> basics.py:69-71)."""
+    from seqm.MolecularDynamics import Molecular_Dynamics_Basic
+
+    device = torch.device("cpu")
+    species = torch.as_tensor(CHARGED_SPECIES, dtype=torch.int64,
+                              device=device)
+    coords = torch.tensor(CHARGED_COORDS, device=device)
+    charges = torch.as_tensor(CHARGED_Q, dtype=torch.float64, device=device)
+    const = Constants().to(device)
+    elements = [0] + sorted(set(species.reshape(-1).tolist()) - {0})
+
+    frc = Force(seqm_parameters(method, elements, eig=True))
+    f, Pconv, Etot, Hf, Eelec, Enuc, Eiso, EnucAB, e_orb, charge, notcnv = \
+        frc(const, coords, species, charges=charges)
+    assert not bool(notcnv.any()), "reference SCF failed on charged batch"
+
+    md = Molecular_Dynamics_Basic(
+        seqm_parameters(method, elements, eps=1.0e-10), timestep=1.0,
+        output={"molid": [0], "thermo": 1, "dump": 10 ** 9,
+                "prefix": "/tmp/mdq"})
+    c2 = torch.tensor(CHARGED_COORDS, device=device) * 1.03
+    vel = torch.zeros_like(c2)
+    x, v, a = md.run(const, nve_steps, c2, vel, species, charges=charges)
+
+    np.savez_compressed(
+        os.path.join(OUT, f"{method.lower()}_charged.npz"),
+        species=np.array(CHARGED_SPECIES),
+        coordinates=np.array(CHARGED_COORDS),
+        charges=np.array(CHARGED_Q),
+        Hf=Hf.detach().numpy(), Etot=Etot.detach().numpy(),
+        Eelec=Eelec.detach().numpy(), Enuc=Enuc.detach().numpy(),
+        force=f.detach().numpy(), e_orb=e_orb.detach().numpy(),
+        nve_coords=x.detach().numpy(), nve_vel=v.detach().numpy())
+    print(f"charged golden done: {method} Hf={Hf.detach().numpy()}")
+
+
 if __name__ == "__main__":
     for m in ["AM1", "MNDO", "PM3"]:
         run_method(m)
@@ -292,3 +356,4 @@ if __name__ == "__main__":
     for m in ["AM1", "MNDO", "PM3"]:
         run_batch_golden(m)
         run_dissociation_golden(m)
+    run_charged_golden("AM1")

@@ -1,5 +1,12 @@
 """Fused two-electron contraction kernel: w-apply in one VMEM pass.
 
+[tools/ because this is a validated but UNUSED experiment: the end-to-end
+A/B (commit cc865dc) showed the fused kernel LOSES to the XLA chain in the
+full nanostar program — the isolated 26-28 ms scheduling pathology it fixed
+does not exist once the dense Fock pipeline fuses around it.  Kept with
+its parity check for future VMEM-pipeline work; run
+`python tools/wapply_pallas.py` to re-validate.]
+
 The dense-A^2 Fock build (ops/fock.py, WPackGrid branch) applies the
 implicit two-electron tensor  w = (U (x) U) . T(ri) . (U (x) U)^T  to 4x4
 density blocks on every ordered atom cell:
@@ -24,7 +31,7 @@ The custom VJP exploits the conjugation structure:
 3x3 block u = U[1:4, 1:4] carries gradient.)  All three cotangents come
 out of ONE backward kernel sharing the rotated intermediates; validated
 against jax.vjp of the XLA implementation in interpret mode
-(tests/test_kernels.py).
+(the check() below — run `python tools/wapply_pallas.py`).
 
 cf. reference two_elec_two_center_int.py rotate() (the 878-line unrolled
 w assembly) and fock.py:80-131 — the reference materializes w and
@@ -53,7 +60,7 @@ def _swap_perm(perm):
 
 @functools.lru_cache(maxsize=None)
 def _nz(perm):
-    from .tetci import _t_nonzeros
+    from pyseqm_tpu.ops.tetci import _t_nonzeros
     return _t_nonzeros(perm)
 
 
@@ -323,3 +330,41 @@ def _bwd(perm, interpret, res, yb):
 
 
 w_apply_fused.defvjp(_fwd, _bwd)
+
+
+def check():
+    """Parity check vs the XLA chain (forward + all three cotangents)."""
+    from pyseqm_tpu.ops.tetci import WPack, _w_apply
+
+    key = jax.random.PRNGKey(3)
+    n = 300                       # not a multiple of 128: exercises padding
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    ri = jax.random.normal(k1, (n, 22), jnp.float32)
+    u3 = jax.random.normal(k2, (n, 3, 3), jnp.float32)
+    U = (jnp.zeros((n, 4, 4), jnp.float32)
+         .at[:, 0, 0].set(1.0).at[:, 1:, 1:].set(u3))
+    X = jax.random.normal(k3, (n, 4, 4), jnp.float32)
+    Yb = jax.random.normal(k4, (n, 4, 4), jnp.float32)
+
+    for perm in ((1, 2, 3, 4), (1, 3, 2, 4), (3, 4, 1, 2)):
+        ref = jax.jit(
+            lambda ri, U, X: _w_apply(WPack(ri=ri, U=U), X, perm))(ri, U, X)
+        got = jax.jit(
+            lambda ri, U, X: w_apply_fused(ri, U, X, perm, True))(ri, U, X)
+        scale = float(jnp.abs(ref).max())
+        assert float(jnp.abs(ref - got).max()) < 3.0e-6 * scale, perm
+
+        f_ref = lambda ri, U, X: jnp.vdot(
+            _w_apply(WPack(ri=ri, U=U), X, perm), Yb)
+        f_got = lambda ri, U, X: jnp.vdot(
+            w_apply_fused(ri, U, X, perm, True), Yb)
+        gr = jax.jit(jax.grad(f_ref, argnums=(0, 1, 2)))(ri, U, X)
+        gg = jax.jit(jax.grad(f_got, argnums=(0, 1, 2)))(ri, U, X)
+        for a, b in zip(gr, gg):
+            s = float(jnp.abs(a).max())
+            assert float(jnp.abs(a - b).max()) < 3.0e-6 * max(s, 1.0), perm
+    print("wapply_pallas: parity OK (3 perms, fwd + dri/dU/dX)")
+
+
+if __name__ == "__main__":
+    check()
