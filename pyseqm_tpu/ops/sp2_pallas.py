@@ -263,31 +263,70 @@ def _sp2_kernel(n: int, m: int, K: int, eps: float, dot_mode: str,
     out_ref[0] = 2.0 * X
 
 
-@functools.partial(jax.jit, static_argnames=("eps", "dot_mode", "interpret"))
-def sp2_purify_tpu(a0: jnp.ndarray, nocc: jnp.ndarray, eps: float = 1.0e-2,
-                   dot_mode: str = "highest", interpret: bool = False):
-    """P = 2 * purify(a0) for a batch of pre-scaled iterates.
-
-    a0: (B, n, n) float32, n <= 128; nocc: (B,) float occupied counts.
-    ``interpret`` runs the kernel in Pallas interpret mode (any backend) —
-    used by the CPU test suite for exact-math parity checks.
-    """
-    B, n, _ = a0.shape
+def panel_geometry(B: int, n: int):
+    """(m, per_prog, pad, G): molecules per panel, per program, batch
+    padding, grid size for a (B, n, n) batch in the kernel's layout."""
     m = TILE // n
     per_prog = m * KPANEL
     pad = (-B) % per_prog
+    return m, per_prog, pad, (B + pad) // per_prog
+
+
+def panel_pack(a0: jnp.ndarray) -> jnp.ndarray:
+    """(B, n, n) -> (G, K*n, TILE) horizontal panel stacking (the kernel's
+    resident layout; fully lane-dense, vs the 8x lane padding XLA gives
+    small trailing dims)."""
+    B, n, _ = a0.shape
+    m, per_prog, pad, G = panel_geometry(B, n)
     if pad:
         a0 = jnp.concatenate(
             [a0, jnp.zeros((pad, n, n), a0.dtype)], axis=0)
-        nocc = jnp.concatenate([nocc, jnp.zeros((pad,), nocc.dtype)])
-    G = a0.shape[0] // per_prog
-
-    # horizontal panel stacking: (G, K, m, n, n) -> (G, K*n, m*n)
     X = (a0.reshape(G, KPANEL, m, n, n)
            .transpose(0, 1, 3, 2, 4)
            .reshape(G, KPANEL * n, m * n))
     if m * n < TILE:
         X = jnp.pad(X, ((0, 0), (0, 0), (0, TILE - m * n)))
+    return X
+
+
+def panel_unpack(X: jnp.ndarray, B: int, n: int) -> jnp.ndarray:
+    """(G, K*n, TILE) -> (B, n, n), inverse of :func:`panel_pack`."""
+    G = X.shape[0]
+    m, per_prog, _, _ = panel_geometry(B, n)
+    P = (X[:, :, :m * n]
+         .reshape(G, KPANEL, n, m, n)
+         .transpose(0, 1, 3, 2, 4)
+         .reshape(G * per_prog, n, n))
+    return P[:B]
+
+
+def panel_diagonal(X: jnp.ndarray, B: int, n: int) -> jnp.ndarray:
+    """(G, K*n, TILE) -> (B, n) per-molecule matrix diagonals, without
+    leaving the panel layout (reshape + strided diagonal — no transpose
+    copy; used for Mulliken charges on a panel-resident density)."""
+    G = X.shape[0]
+    m, per_prog, _, _ = panel_geometry(B, n)
+    X5 = X[:, :, :m * n].reshape(G, KPANEL, n, m, n)
+    # d[g, k, i, r] = X5[g, k, r, i, r]
+    d = jnp.diagonal(X5, axis1=2, axis2=4)          # (G, K, m, n)
+    return d.reshape(G * per_prog, n)[:B]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n", "eps", "dot_mode", "interpret"))
+def sp2_purify_panels(X: jnp.ndarray, nocc: jnp.ndarray, n: int,
+                      eps: float = 1.0e-2, dot_mode: str = "highest",
+                      interpret: bool = False) -> jnp.ndarray:
+    """Panel-resident SP2: input AND output stay in the (G, K*n, TILE)
+    panel layout (see :func:`panel_pack`), so a caller holding its
+    electronic state in panels pays zero relayout at the kernel boundary.
+    ``nocc`` is (B,) for the logical batch; padded internally."""
+    G = X.shape[0]
+    m = TILE // n
+    per_prog = m * KPANEL
+    pad = G * per_prog - nocc.shape[0]
+    if pad:
+        nocc = jnp.concatenate([nocc, jnp.zeros((pad,), nocc.dtype)])
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -299,7 +338,7 @@ def sp2_purify_tpu(a0: jnp.ndarray, nocc: jnp.ndarray, eps: float = 1.0e-2,
         out_specs=pl.BlockSpec((1, KPANEL * n, TILE), lambda g, *_: (g, 0, 0),
                                memory_space=pltpu.VMEM),
     )
-    out = pl.pallas_call(
+    return pl.pallas_call(
         # eps floor 1e-5: the HIGHEST-precision dots put the f32 trace
         # noise floor near 1e-6 (measured) — the 1e-2 floor documented for
         # the v1 kernel was an artifact of Mosaic's single-pass-bf16
@@ -309,13 +348,22 @@ def sp2_purify_tpu(a0: jnp.ndarray, nocc: jnp.ndarray, eps: float = 1.0e-2,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(X.shape, X.dtype),
         interpret=interpret,
-    )(nocc.astype(a0.dtype), X)
+    )(nocc.astype(X.dtype), X)
 
-    P = (out[:, :, :m * n]
-         .reshape(G, KPANEL, n, m, n)
-         .transpose(0, 1, 3, 2, 4)
-         .reshape(G * per_prog, n, n))
-    return P[:B]
+
+@functools.partial(jax.jit, static_argnames=("eps", "dot_mode", "interpret"))
+def sp2_purify_tpu(a0: jnp.ndarray, nocc: jnp.ndarray, eps: float = 1.0e-2,
+                   dot_mode: str = "highest", interpret: bool = False):
+    """P = 2 * purify(a0) for a batch of pre-scaled iterates.
+
+    a0: (B, n, n) float32, n <= 128; nocc: (B,) float occupied counts.
+    ``interpret`` runs the kernel in Pallas interpret mode (any backend) —
+    used by the CPU test suite for exact-math parity checks.
+    """
+    B, n, _ = a0.shape
+    X = panel_pack(a0)
+    out = sp2_purify_panels(X, nocc, n, eps, dot_mode, interpret)
+    return panel_unpack(out, B, n)
 
 
 def supported(n: int, dtype) -> bool:

@@ -250,3 +250,59 @@ def test_eigh_rescue_unconverged_panels():
     assert not np.asarray(badc).any()
     np.testing.assert_array_equal(np.asarray(ec2), np.asarray(ec))
     np.testing.assert_array_equal(np.asarray(vc2), np.asarray(vc))
+
+
+def test_sp2_panel_layout_roundtrip_and_diagonal():
+    """panel_pack/panel_unpack are exact inverses (incl. batch padding);
+    panel_diagonal reads per-molecule matrix diagonals without leaving
+    the panel layout; sp2_purify_panels == sp2_purify_tpu modulo layout
+    (interpret mode)."""
+    from pyseqm_tpu.ops import sp2_pallas as sp
+
+    key = jax.random.PRNGKey(7)
+    B, n = 700, 16          # not a multiple of per_prog: exercises padding
+    a = jax.random.normal(key, (B, n, n), jnp.float32)
+    X = sp.panel_pack(a)
+    m, per_prog, pad, G = sp.panel_geometry(B, n)
+    assert X.shape == (G, sp.KPANEL * n, sp.TILE)
+    back = sp.panel_unpack(X, B, n)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(a))
+    d = sp.panel_diagonal(X, B, n)
+    np.testing.assert_array_equal(
+        np.asarray(d), np.asarray(jnp.diagonal(a, axis1=1, axis2=2)))
+
+    # purification parity: panel io vs mat io (identical kernel inside)
+    a0 = 0.02 * jax.random.normal(key, (512, n, n), jnp.float32)
+    a0 = 0.5 * (a0 + jnp.swapaxes(a0, 1, 2))
+    idx = jnp.arange(n)
+    a0 = a0.at[:, idx, idx].set(jnp.linspace(0.9, 0.1, n)[None, :])
+    nocc = jnp.full((512,), 5.0, jnp.float32)
+    P_mat = sp.sp2_purify_tpu(a0, nocc, 1.0e-5, interpret=True)
+    P_pan = sp.sp2_purify_panels(sp.panel_pack(a0), nocc, n, 1.0e-5,
+                                 interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(sp.panel_unpack(P_pan, 512, n)), np.asarray(P_mat))
+
+
+def test_panel_mask_matches_packed_mask():
+    """density.panel_mask == panel_pack of the packed orbital mask outer
+    product (the transpose-free construction is exact)."""
+    import pyseqm_tpu as pq
+    from pyseqm_tpu.ops import density as dn
+    from pyseqm_tpu.ops import sp2_pallas as sp
+    from pyseqm_tpu.system import make_system
+    from pyseqm_tpu.utils.molecules import make_batch
+
+    spc, co = make_batch(300, 8, jitter=0.02)
+    const = pq.make_constants(dtype=jnp.float32)
+    species = jnp.asarray(spc)
+    K = pq.packed_heavy_count(spc)
+    sys_ = make_system(const, species, jnp.asarray(co, jnp.float32),
+                       heavy_count=K)
+    A = species.shape[1]
+    n_st = dn.packed_solver_size(K, A)
+    mk = dn.static_pack_vec(dn.orbital_mask(sys_).astype(jnp.float32),
+                            K, n_st)
+    ref = sp.panel_pack(mk[:, :, None] * mk[:, None, :])
+    got = dn.panel_mask(sys_, K, n_st)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))

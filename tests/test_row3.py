@@ -166,3 +166,91 @@ def test_row3_packed_layout_parity(pm3_row3):
     np.testing.assert_allclose(np.asarray(o2.Hf), np.asarray(o1.Hf),
                                atol=1e-9)
     np.testing.assert_allclose(np.asarray(f2), np.asarray(f1), atol=1e-8)
+
+
+# ---------------------------------------------------------------------------
+# MNDO / AM1 breadth (VERDICT r5 item 5): per-method f64 fixtures +
+# method-parametrized physics checks.  The reference raises on every
+# row-3 pair, so the fixtures are self-consistency pins generated by
+# tools/gen_row3_fixtures.py (fixed documented geometries).
+
+@pytest.fixture(scope="module")
+def row3_fixtures(golden):
+    return golden("row3_fixtures")
+
+
+@pytest.mark.parametrize("method", ["MNDO", "AM1", "PM3"])
+def test_row3_fixture_parity(row3_fixtures, method):
+    """H2S/PH3/SiH4/HCl/CH3Cl/AlH3 energies, forces and orbital energies
+    reproduce the committed f64 fixtures for every method."""
+    g = row3_fixtures
+    sp = jnp.asarray(g[f"{method}_species"])
+    co = jnp.asarray(g[f"{method}_coords"], jnp.float64)
+    const = pq.make_constants(dtype=jnp.float64)
+    tables = pq.load_element_tables(method, dtype=jnp.float64)
+    cfg = pq.SEQMConfig(method=method, row3=True, eig=True,
+                        scf=SCFConfig(eps=1.0e-10, converger=(2,)))
+    f, res = jax.jit(lambda c: pq.force(const, tables, cfg, sp, c))(co)
+    assert not bool(res.notconverged.any())
+    np.testing.assert_allclose(np.asarray(res.Hf), g[f"{method}_Hf"],
+                               atol=1e-8)
+    np.testing.assert_allclose(np.asarray(f), g[f"{method}_force"],
+                               atol=1e-7)
+    np.testing.assert_allclose(np.asarray(res.e), g[f"{method}_e_orb"],
+                               atol=1e-7)
+
+
+@pytest.mark.parametrize("method", ["MNDO", "AM1"])
+def test_row3_force_fd_per_method(method):
+    """Analytic forces match central finite differences for a row-3
+    molecule under MNDO and AM1 (PM3 covered above)."""
+    const = pq.make_constants(dtype=jnp.float64)
+    tables = pq.load_element_tables(method, dtype=jnp.float64)
+    cfg = pq.SEQMConfig(method=method, row3=True,
+                        scf=SCFConfig(eps=1.0e-10, converger=(2,)))
+    sp, co = _h2s_geometry(bond=1.38, angle_deg=96.0)   # off-equilibrium
+    f, _ = jax.jit(lambda c: pq.force(const, tables, cfg, jnp.asarray(sp),
+                                      c))(jnp.asarray(co))
+    efn = jax.jit(lambda c: pq.energy(const, tables, cfg, jnp.asarray(sp),
+                                      c).Hf[0])
+    h = 1.0e-5
+    for (a, k) in ((0, 0), (1, 0), (2, 1)):
+        cp = co.copy(); cp[0, a, k] += h
+        cm = co.copy(); cm[0, a, k] -= h
+        fd = -(float(efn(jnp.asarray(cp)))
+               - float(efn(jnp.asarray(cm)))) / (2 * h)
+        # tolerance is FD-limited: SCF eps 1e-10 / (2h) ~ 5e-6 energy
+        # noise bound; measured worst 1.4e-7 on |F| ~ 2.3 eV/A
+        assert abs(float(f[0, a, k]) - fd) < 1.0e-6, (method, a, k)
+
+
+@pytest.mark.parametrize("method,r_window,a_window", [
+    ("MNDO", (1.28, 1.40), (89.0, 100.0)),
+    ("AM1", (1.28, 1.40), (89.0, 100.0)),
+])
+def test_h2s_optimized_geometry_window(method, r_window, a_window):
+    """MNDO/AM1 H2S relaxes to a physical geometry: r(SH) and the HSH
+    angle land in the window spanned by the published NDDO-family values
+    around experiment (r=1.328 A, 92.1 deg).  Not a tight external pin
+    (those published tables are not reproducible here to the digit
+    without the optimized reference geometry), but a real physics check
+    that the S parameters + generated (3,1) overlap class produce a
+    sound potential surface."""
+    from pyseqm_tpu.drivers.opt import geometry_optimize_lbfgs
+    const = pq.make_constants(dtype=jnp.float64)
+    tables = pq.load_element_tables(method, dtype=jnp.float64)
+    cfg = pq.SEQMConfig(method=method, row3=True,
+                        scf=SCFConfig(eps=1.0e-10, converger=(2,)))
+    sp, co = _h2s_geometry(bond=1.42, angle_deg=99.0)   # distorted start
+    x, ferr, nit = geometry_optimize_lbfgs(
+        const, tables, cfg, jnp.asarray(sp), jnp.asarray(co),
+        force_tol=2.0e-4, max_evl=120, chunk=10)
+    assert float(ferr) <= 2.0e-4
+    x = np.asarray(x)[0]
+    r1 = np.linalg.norm(x[1] - x[0])
+    r2 = np.linalg.norm(x[2] - x[0])
+    cosang = np.dot(x[1] - x[0], x[2] - x[0]) / (r1 * r2)
+    ang = np.rad2deg(np.arccos(cosang))
+    assert r_window[0] < r1 < r_window[1], (method, r1)
+    assert r_window[0] < r2 < r_window[1], (method, r2)
+    assert a_window[0] < ang < a_window[1], (method, ang)

@@ -48,6 +48,10 @@ def test_f32_forces_finite_beyond_overlap_cutoff():
     x[0, 1] = [0.96, 0.0, 0.0]
     x[0, 2] = [-0.24, 0.93, 0.0]
     x[0, 3:] = x[0, :3] + np.array([60.0, 0.0, 0.0])
+    # canonical descending-Z order (the entry check now enforces the
+    # convention the flat pair classes rely on); the far O-H cross pairs
+    # this regression needs survive the sort
+    z, x = pq.system.sort_species(z, x)
     species = jnp.asarray(z)
     coords = jnp.asarray(x, jnp.float32)
     const, tables, cfg = pq.build(

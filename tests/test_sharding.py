@@ -103,3 +103,110 @@ def test_train_step_reduces_loss(setup):
         losses.append(float(loss))
     assert losses[-1] < losses[0], losses
     assert np.isfinite(losses).all()
+
+
+def test_padded_batch_sharding(setup):
+    """pad_to_mesh pads a ragged batch (13 mols, 8 devices) with inert
+    empty molecules; sharded energies on the real slice match local."""
+    from pyseqm_tpu.parallel import pad_to_mesh
+    const, tables, cfg, species, coords = setup
+    sp13, co13 = species[:13], coords[:13]
+    hf_local = jax.jit(lambda s, c: pq.energy(const, tables, cfg, s, c).Hf)(
+        sp13, co13)
+    mesh = molecule_mesh()
+    psp, pco, pch, nreal = pad_to_mesh(mesh, sp13, co13)
+    assert nreal == 13 and psp.shape[0] == 16 and pch is None
+    ssp, sco = shard_molecules(mesh, (psp, pco))
+    hf = sharded_energy_fn(const, tables, cfg, mesh)(ssp, sco)
+    np.testing.assert_allclose(np.asarray(hf[:13]), np.asarray(hf_local),
+                               atol=1e-9)
+    assert np.isfinite(np.asarray(hf)).all()
+
+
+def test_sharded_checkpoint_resume_exact(setup, tmp_path):
+    """Sharded XL-BOMD: checkpoint after 3 steps, restore, run 2 more —
+    bit-identical to the uninterrupted sharded 5-step trajectory
+    (VERDICT r4 item 7)."""
+    from jax.sharding import NamedSharding
+    from pyseqm_tpu.drivers.md import MDConfig
+    from pyseqm_tpu.drivers.xlbomd import XLBOMD
+    from pyseqm_tpu.parallel import sharded_xlbomd_step, xlbomd_state_specs
+    from pyseqm_tpu.utils.checkpoint import load_state, save_state
+
+    const, tables, cfg, species, coords = setup
+    md = XLBOMD(const, tables, cfg, MDConfig(timestep=0.4), k=5)
+    st = jax.jit(lambda c: md.initialize(
+        species, c, velocities=jnp.zeros_like(c), initial_force=False))(coords)
+    mesh = molecule_mesh()
+    st_sh = jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        st, xlbomd_state_specs())
+    sp_sh = shard_molecules(mesh, species)
+    xstep = sharded_xlbomd_step(md, mesh)
+
+    cur = st_sh
+    for _ in range(3):
+        cur, _ = xstep(sp_sh, cur)
+    path = str(tmp_path / "xl_ckpt.npz")
+    save_state(path, cur)
+
+    # uninterrupted: 2 more from the live state
+    ref = cur
+    for _ in range(2):
+        ref, _ = xstep(sp_sh, ref)
+
+    # resumed: restore from disk, re-shard, 2 more
+    restored = load_state(path, cur)
+    restored = jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(jnp.asarray(x), NamedSharding(mesh, s)),
+        restored, xlbomd_state_specs())
+    cur2 = restored
+    for _ in range(2):
+        cur2, _ = xstep(sp_sh, cur2)
+
+    for a, b in zip(jax.tree_util.tree_leaves(ref),
+                    jax.tree_util.tree_leaves(cur2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_sharded_xlbomd_50step_drift_matches_local(setup):
+    """50-step sharded-vs-local XL trajectory (VERDICT r4 item 7): the
+    sharded run is molecule-local physics, so at f64 the trajectories
+    must agree to integrator roundoff over a long horizon, and the total
+    energy drift must be small and IDENTICAL in both runs."""
+    from jax.sharding import NamedSharding
+    from pyseqm_tpu.drivers.md import MDConfig, kinetic_energy
+    from pyseqm_tpu.drivers.xlbomd import XLBOMD
+    from pyseqm_tpu.parallel import sharded_xlbomd_step, xlbomd_state_specs
+
+    const, tables, cfg, species, coords = setup
+    md = XLBOMD(const, tables, cfg, MDConfig(timestep=0.4), k=5)
+    st = jax.jit(lambda c: md.initialize(
+        species, c, velocities=jnp.zeros_like(c), initial_force=False))(coords)
+
+    ref = st
+    e_ref = []
+    step1 = jax.jit(lambda s, t: md.step(s, t))
+    for _ in range(50):
+        ref, obs = step1(species, ref)
+        e_ref.append(np.asarray(obs.Ek + obs.Epot))
+
+    mesh = molecule_mesh()
+    st_sh = jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        st, xlbomd_state_specs())
+    sp_sh = shard_molecules(mesh, species)
+    xstep = sharded_xlbomd_step(md, mesh)
+    cur = st_sh
+    e_sh = []
+    for _ in range(50):
+        cur, obs = xstep(sp_sh, cur)
+        e_sh.append(np.asarray(obs.Ek + obs.Epot))
+
+    np.testing.assert_allclose(np.asarray(cur.coordinates),
+                               np.asarray(ref.coordinates), atol=1e-8)
+    # energy drift over the horizon: small, and equal across substrates
+    drift_ref = np.abs(np.asarray(e_ref) - e_ref[0]).max()
+    drift_sh = np.abs(np.asarray(e_sh) - e_sh[0]).max()
+    assert drift_ref < 5.0e-3, drift_ref
+    np.testing.assert_allclose(drift_sh, drift_ref, atol=1e-8)
