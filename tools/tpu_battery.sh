@@ -32,4 +32,5 @@ run acc_ref64    env JAX_PLATFORMS=cpu JAX_PLATFORM_NAME=cpu \
                  python tools/accuracy_probe.py --stage ref64
 run acc_batch    python tools/accuracy_probe.py --stage batch
 run drift        python tools/force_quality_probe.py --stage drift
+run kernel_smoke python tools/tpu_kernel_smoke.py
 echo "=== battery done ==="
