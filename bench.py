@@ -19,9 +19,11 @@ import time
 
 NMOL = 10240
 MOLSIZE = 8
-# scan-chunk length: each chunk dispatch costs ~26 ms through the axon
-# tunnel, so 25 steps/chunk keeps that overhead ~1 ms/step
-CHUNK = 25
+# steps per compiled scan chunk: each dispatch through the axon tunnel
+# costs ~26 ms, so chunk length sets the amortized per-step overhead
+# (25 -> ~1.0 ms/step of pure dispatch at the headline; 50 -> ~0.5).
+# 50 matches a realistic production cadence (thermo/log every 50 steps).
+CHUNK = 50
 K_XL = 5
 BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "benchmarks", "ref_cpu_baseline.json")
@@ -197,17 +199,26 @@ def bench_scf(nmol=NMOL, repeats=3, eigh=False, row3=False):
                                   row3=row3)
     species = jnp.asarray(sp)
     coords = jnp.asarray(co, dtype=jnp.float32)
-    efn = jax.jit(lambda c: pq.energy(const, tables, cfg, species, c).Hf)
-    hf = jax.block_until_ready(efn(coords))
+    # chain R full SCF solves inside one jit (each perturbed by the
+    # previous result, so nothing replays): one ~26 ms tunnel dispatch
+    # amortizes over R batches instead of inflating every timed call
+    # (at 10240 mol / ~200 ms a single-call harness under-reported ~13%)
+    R = 5
+
+    @jax.jit
+    def many(c):
+        def step(c, _):
+            hf = pq.energy(const, tables, cfg, species, c).Hf
+            return c + 1.0e-7 * hf[:, None, None], None
+        return jax.lax.scan(step, c, None, length=R)[0]
+
+    c = jax.block_until_ready(many(coords))
     times = []
     for _ in range(repeats):
-        # perturb coords from the previous result so the backend cannot
-        # replay a cached identical execution
-        coords = coords + 1.0e-7 * hf[:, None, None]
         t0 = time.perf_counter()
-        hf = jax.block_until_ready(efn(coords))
+        c = jax.block_until_ready(many(c))
         times.append(time.perf_counter() - t0)
-    return nmol / min(times)
+    return R * nmol / min(times)
 
 
 def bench_bomd(nmol=NMOL, repeats=3):
@@ -233,14 +244,16 @@ def bench_bomd(nmol=NMOL, repeats=3):
                                    temperature=300.0))
     state = md.initialize(species, coords, key=jax.random.PRNGKey(0),
                           Temp=300.0)
-    chunk = md._build_chunk(species, 4)
+    # 8 steps per dispatch: at ~170 ms/step the ~26 ms tunnel dispatch
+    # is 2% amortized (was 4%)
+    chunk = md._build_chunk(species, 8)
     state, obs = jax.block_until_ready(chunk(state))   # warmup/compile
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
         state, obs = jax.block_until_ready(chunk(state))
         times.append(time.perf_counter() - t0)
-    return 4 / min(times)
+    return 8 / min(times)
 
 
 def bench_opt(nmol=2048, max_evl=60, sd=False):
@@ -369,8 +382,11 @@ def bench_nanostar(n_carbons=294, repeats=3):
 
     # chain force evaluations through the coordinates so the backend
     # cannot replay a cached identical execution (and the ~26 ms/call
-    # tunnel dispatch latency amortizes away)
-    R = 3
+    # tunnel dispatch latency amortizes away).  R=3 left ~8.7 ms of pure
+    # dispatch in every reported step (26/3 on a ~14-17 ms step — the r4
+    # "38.7 steps/s" row was really ~58); R=25 bounds the harness
+    # artifact at ~1 ms/step, matching the headline bench's methodology.
+    R = 25
 
     @jax.jit
     def many(c, P):
