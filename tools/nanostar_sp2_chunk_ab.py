@@ -73,3 +73,6 @@ def main():
 
 if __name__ == "__main__":
     main()
+# (r5 result: default chunk 4 best — 59-61 steps/s vs 51 @12, 55.6 @20;
+# the ~2 ms/while-iteration overhead no longer dominates at this size,
+# overshoot matmuls do.  Keep the size-based default.)

@@ -21,6 +21,7 @@ run xlbomd_ml    python bench.py --config xlbomd-ml
 run ml_trained   python bench.py --config xlbomd-ml-trained
 run scf          python bench.py --config scf
 run scf_eigh     python bench.py --config scf-eigh
+run scf_row3     python bench.py --config scf-row3
 run bomd         python bench.py --config bomd
 run opt          python bench.py --config opt
 run opt_sd       python bench.py --config opt-sd
