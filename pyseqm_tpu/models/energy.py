@@ -280,22 +280,31 @@ def check_species(cfg: SEQMConfig, tables, species,
     if isinstance(species, jax.core.Tracer):
         return  # inside jit: shapes only, values unavailable
     charges_known = not isinstance(charges, jax.core.Tracer)
-    from ..system import validate
-    validate(np.asarray(species), charges if charges_known else None,
-             allow_row3=cfg.row3, check_parity=charges_known)
-    sp = np.asarray(species)
-    present = np.unique(sp[sp > 0])
-    if present.size == 0:
-        return
     zs = tables.get("zeta_s")
-    if zs is not None and not isinstance(zs, jax.core.Tracer):
-        zrow = np.asarray(zs)[present]
-        if (zrow == 0).any():
-            bad = sorted(int(z) for z in present[zrow == 0])
-            raise ValueError(
-                f"elements Z={bad} have no {cfg.method} parameters "
-                "(all-zero rows in the published table) — energies would "
-                "be silently wrong")
+    if isinstance(zs, jax.core.Tracer):
+        zs = None
+    try:
+        # device->host transfers: advisory checks must not take the
+        # process down on a remote-backend hiccup (the axon tunnel
+        # returned INTERNAL mid-battery on exactly this transfer)
+        sp = np.asarray(species)
+        ch = np.asarray(charges) if (charges_known
+                                     and charges is not None) else None
+        zs = np.asarray(zs) if zs is not None else None
+    except Exception:
+        return
+    from ..system import validate
+    validate(sp, ch, allow_row3=cfg.row3, check_parity=charges_known)
+    present = np.unique(sp[sp > 0])
+    if present.size == 0 or zs is None:
+        return
+    zrow = zs[present]
+    if (zrow == 0).any():
+        bad = sorted(int(z) for z in present[zrow == 0])
+        raise ValueError(
+            f"elements Z={bad} have no {cfg.method} parameters "
+            "(all-zero rows in the published table) — energies would "
+            "be silently wrong")
 
 
 def energy(
