@@ -162,12 +162,19 @@ def stage_f32(cache):
             gam = w.gam() if hasattr(w, "gam") else w.ri[..., 0]
             EnucAB = pair_nuclear_energy(const, sys, gam, "AM1", p)
             hf_all = hf_readout(P64, F, H, EnucAB, p, sys)
+            # electronic-only: f32 integrals but the f64 nuclear term —
+            # splits the integral-stack increment into electronic
+            # (overlap/ri through Hcore+Fock) vs core-core (gam + exp
+            # chain) halves
+            hf_elec = hf_readout(P64, F, H, EnucAB64, p, sys)
+            # nuclear-only: f64-cast electronic state + f32 core-core
+            hf_nuc = hf_readout(P64, F64, H64, EnucAB, p, sys)
             # fock-accumulation alone: f64-cast integrals + Hcore, f32
             # contraction arithmetic
             A = species.shape[1]
             F2 = fock(sys, P64, mat_to_grid(H64, A), w64, p)
             hf_fock = hf_readout(P64, F2, H64, EnucAB64, p, sys)
-            return hf_all, hf_fock
+            return hf_all, hf_elec, hf_nuc, hf_fock
 
     @jax.jit
     def full_stage(coords):
@@ -183,8 +190,10 @@ def stage_f32(cache):
     hf_sp2, hf_eigh = density_stage(coords)
     rep("density sp2-kernel (f64 F)", hf_sp2)
     rep("density eigh (f64 F)", hf_eigh)
-    hf_frozen, hf_fockonly = frozenP_stage(coords)
+    hf_frozen, hf_elec, hf_nuc, hf_fockonly = frozenP_stage(coords)
     rep("frozenP integrals+fock+nuc+readout", hf_frozen)
+    rep("frozenP electronic integrals only (f64 nuclear)", hf_elec)
+    rep("frozenP nuclear only (f64 electronic)", hf_nuc)
     rep("frozenP fock-accum only (f64 integrals)", hf_fockonly)
     rep("full f32 SCF (production)", full_stage(coords))
 
