@@ -9,6 +9,9 @@ dHf -0.9 kcal/mol, r(SH) 1.290 A, angle 93.5 deg.
 Run: python examples/row3.py   (CPU f64; a few minutes of compile)
 """
 import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
 
