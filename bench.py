@@ -334,9 +334,22 @@ def bench_opt(nmol=2048, max_evl=60, sd=False):
             break
     dt = time.perf_counter() - t0
     nit = int(state.nit)
+    # done includes molecules FROZEN by the forced-accept guard (bad
+    # model steps); count true tol-convergence from the gradients
+    gerr = jnp.max(jnp.abs(state.g), axis=-1)
+    ncv = int(jnp.sum(gerr <= 1.0e-3))
     print(json.dumps({"final_max_force": float(ferr),
-                      "iters": nit, "wall_s": round(dt, 2)}),
+                      "iters": nit, "wall_s": round(dt, 2),
+                      "converged_tol": ncv,
+                      "frozen_forced": int(jnp.sum(state.done)) - ncv,
+                      "nmol": nmol}),
           file=sys.stderr)
+    if max_evl >= 200:
+        # convergence mode (config opt-conv): the user-felt quantity —
+        # molecules relaxed to max|F| <= 1e-3 eV/A per second of wall
+        # (the throughput row alone measured an unconverged ensemble,
+        # VERDICT r4 weak #5)
+        return ncv / dt
     return nmol * nit / dt
 
 
@@ -431,7 +444,8 @@ def main():
     ap.add_argument("--config",
                     choices=["xlbomd", "xlbomd-ml", "xlbomd-ml-trained",
                              "scf", "scf-eigh", "scf-row3",
-                             "bomd", "opt", "opt-sd", "nanostar"],
+                             "bomd", "opt", "opt-conv", "opt-sd",
+                             "nanostar"],
                     default="xlbomd")
     args = ap.parse_args()
     if not args.measure_ref:
@@ -479,6 +493,12 @@ def main():
         # one-eval-per-step SD number — config opt-sd carries that ratio
         emit("lbfgs_opt_am1_molecule_iters_per_sec@2048mol", bench_opt(),
              "molecule-iters/sec", None, ndigits=1)
+        return
+    if args.config == "opt-conv":
+        # time-to-convergence: 2048 jittered molecules relaxed to
+        # max|F| <= 1e-3 eV/A (up to 400 warm-L-BFGS iterations)
+        emit("lbfgs_opt_am1_converged_mol_per_sec@2048mol@tol1e-3",
+             bench_opt(max_evl=400), "molecules/sec", None, ndigits=1)
         return
     if args.config == "opt-sd":
         emit("sd_opt_am1_molecule_evals_per_sec@2048mol",

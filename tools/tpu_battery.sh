@@ -24,6 +24,7 @@ run scf_eigh     python bench.py --config scf-eigh
 run scf_row3     python bench.py --config scf-row3
 run bomd         python bench.py --config bomd
 run opt          python bench.py --config opt
+run opt_conv     python bench.py --config opt-conv
 run opt_sd       python bench.py --config opt-sd
 run nanostar     python bench.py --config nanostar --timing
 run acc_golden   python tools/accuracy_probe.py --stage golden
