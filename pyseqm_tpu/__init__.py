@@ -16,5 +16,7 @@ from .scf import SCFConfig  # noqa: F401
 from .system import System, make_system, sort_species  # noqa: F401
 from .models.energy import (SEQMConfig, build, energy, force,  # noqa: F401
                             hamiltonian)
+from . import compat, system  # noqa: F401
+from .compat import from_seqm_parameters  # noqa: F401
 
 __version__ = "0.1.0"
