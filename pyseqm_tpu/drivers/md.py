@@ -389,8 +389,9 @@ class NoseHooverDynamics(MolecularDynamics):
     CHAIN = 2
 
     def __init__(self, const, tables, seqm_cfg, md_cfg=MDConfig(),
-                 tau: float = 20.0, learned=None, timing=None):
-        super().__init__(const, tables, seqm_cfg, md_cfg, learned, timing)
+                 tau: float = 20.0, learned=None, timing=None, charges=None):
+        super().__init__(const, tables, seqm_cfg, md_cfg, learned, timing,
+                         charges)
         self.tau = tau  # thermostat time constant (fs)
 
     def initialize(self, species, coordinates, velocities=None, key=None,

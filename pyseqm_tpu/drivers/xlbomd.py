@@ -69,8 +69,9 @@ class XLBOMD(MolecularDynamics):
 
     def __init__(self, const: Constants, tables, seqm_cfg: SEQMConfig,
                  md_cfg: MDConfig = MDConfig(), k: int = 5, cc: float = 1.0,
-                 learned=None, timing=None):
-        super().__init__(const, tables, seqm_cfg, md_cfg, learned, timing)
+                 learned=None, timing=None, charges=None):
+        super().__init__(const, tables, seqm_cfg, md_cfg, learned, timing,
+                         charges)
         kappa, alpha, cs = XL_COEFFS[k]
         self.k = k
         self.m = k + 1

@@ -210,3 +210,35 @@ def test_sharded_xlbomd_50step_drift_matches_local(setup):
     drift_sh = np.abs(np.asarray(e_sh) - e_sh[0]).max()
     assert drift_ref < 5.0e-3, drift_ref
     np.testing.assert_allclose(drift_sh, drift_ref, atol=1e-8)
+
+
+def test_sharded_xlbomd_step_with_charges(setup):
+    """The charged-driver sharded step (charges shard with the batch as
+    an explicit input — a closure constant would keep full size inside
+    shard_map) matches the local charged trajectory."""
+    from jax.sharding import NamedSharding
+    from pyseqm_tpu.drivers.md import MDConfig
+    from pyseqm_tpu.drivers.xlbomd import XLBOMD
+    from pyseqm_tpu.parallel import sharded_xlbomd_step, xlbomd_state_specs
+
+    const, tables, cfg, species, coords = setup
+    # alternate 0 / +2 net charges (even-electron; molsize-6 organics)
+    charges = jnp.asarray([0, 2] * (species.shape[0] // 2))
+    md = XLBOMD(const, tables, cfg, MDConfig(timestep=0.4), k=5,
+                charges=charges)
+    st = jax.jit(lambda c: md.initialize(
+        species, c, velocities=jnp.zeros_like(c), initial_force=False))(coords)
+
+    ref, _ = jax.jit(lambda s, t: md.step(s, t))(species, st)
+
+    mesh = molecule_mesh()
+    st_sh = jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        st, xlbomd_state_specs())
+    sp_sh = shard_molecules(mesh, species)
+    xstep = sharded_xlbomd_step(md, mesh)
+    cur, _ = xstep(sp_sh, st_sh)
+    np.testing.assert_allclose(np.asarray(cur.coordinates),
+                               np.asarray(ref.coordinates), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(cur.P), np.asarray(ref.P),
+                               atol=1e-9)
